@@ -1,38 +1,323 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the operator inventory of SURVEY.md §2 (parse / enrich /
+route / aggregate / find-sort families) plus the training-data-pipeline
+operators (dedup, similarity, text analysis, multimodal plumbing). Each
+SQL-expressible query has a DuckDB oracle in ``oracle_sql()``; parse-family
+oracles read "expected" parquet produced by the independent pure-Python
+implementations in ``logagg.refparse`` / ``logagg.textfns`` (a true
+differential check), materialized deterministically by ``logagg.synth``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logagg import aggregate, dedup, enrich, multimodal, parse, route, similarity, synth, textstats
+
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _cache(sf_dir: str):
+    return synth.ensure_cache(sf_dir)
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(str(_cache(sf_dir) / "pages.parquet"))
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse.parsed_records(_pages(spark, sf_dir))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    host_geo, lang_locale = enrich.load_lookups(spark, _cache(sf_dir))
+    return enrich.enrich(_parsed(spark, sf_dir), host_geo, lang_locale)
+
+
+PARSED_COLS = [
+    "url", "lang", "warc_ts", "record_idx", "extracted_text", "severity",
+    "jvm", "datetime", "source", "type", "message", "node", "log_type", "host",
+]
+
+
+# --------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse → enrich → aggregate over the sf0.001 pages
+    corpus (the reference's batch ETL re-expressed; SURVEY.md §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    host_geo, lang_locale = enrich.load_lookups(spark, _cache(sf_dir))
+    parsed = parse.parsed_records(_pages(spark, sf_dir))
+    enriched = enrich.enrich(parsed, host_geo, lang_locale)
+    return aggregate.sink_agg_hourly(enriched)
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- parse family (SURVEY.md §2.2 P1-P11) — differential vs refparse
+    q["parse_records"] = lambda spark, sf: _parsed(spark, sf).select(*PARSED_COLS)
+    q["parse_severity_counts"] = lambda spark, sf: aggregate.severity_counts(_parsed(spark, sf))
+    q["parse_source_counts"] = lambda spark, sf: aggregate.source_counts(_parsed(spark, sf))
+
+    # ---- find/sort/point-lookup (SURVEY.md §2.3 Q1-Q3)
+    q["find_node_sorted"] = lambda spark, sf: (
+        _parsed(spark, sf)
+        .filter(F.col("node") == "n05")
+        .orderBy(F.col("datetime").desc(), "url", "record_idx")
+        .select("url", "record_idx", "datetime", "severity", "message")
+    )
+    q["point_lookup_url"] = lambda spark, sf: (
+        _parsed(spark, sf)
+        .filter(F.col("url").endswith("/00000042"))
+        .select("url", "record_idx", "severity", "datetime", "message")
+    )
+
+    # ---- enrich / route / aggregate (SURVEY.md §2.4-2.5, north-star)
+    q["enrich_geo_counts"] = lambda spark, sf: (
+        _enriched(spark, sf).groupBy("geo", "locale").agg(F.count("*").alias("n"))
+    )
+    q["route_counts"] = lambda spark, sf: route.route_counts(_parsed(spark, sf))
+    q["sink_agg_hourly"] = lambda spark, sf: aggregate.sink_agg_hourly(_parsed(spark, sf))
+    q["host_agg_salted"] = lambda spark, sf: aggregate.host_agg_salted(_parsed(spark, sf))
+
+    # ---- text analysis
+    q["pages_langid"] = lambda spark, sf: (
+        textstats.with_lang_pred(_pages(spark, sf)).select("url", "lang_pred")
+    )
+    q["doc_fingerprints"] = lambda spark, sf: textstats.doc_fingerprints(_tbl(spark, sf, "documents"))
+    q["doc_token_stats"] = lambda spark, sf: (
+        _tbl(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(textstats.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        )
+    )
+    q["doc_quality_by_source"] = lambda spark, sf: (
+        _tbl(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg(textstats.quality_score(F.col("text"), F.col("n_chars"))), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+    # ---- dedup
+    q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dupes(_tbl(spark, sf, "documents"))
+    q["dedup_shingle_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_pages(spark, sf))
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(_pages(spark, sf))
+
+    # ---- similarity search
+    q["ann_topk"] = lambda spark, sf: similarity.ann_bruteforce(_tbl(spark, sf, "embeddings"))
+    q["ann_topk_numpy"] = lambda spark, sf: similarity.ann_bruteforce_numpy(
+        _tbl(spark, sf, "embeddings")
+    )
+    q["ann_lsh"] = lambda spark, sf: similarity.ann_lsh(_tbl(spark, sf, "embeddings"))
+
+    # ---- multimodal plumbing
+    q["html_meta"] = lambda spark, sf: multimodal.html_meta(_pages(spark, sf))
+    q["media_decode_stub"] = lambda spark, sf: multimodal.decode_media(_pages(spark, sf))
+
+    # ---- driver-table relational family (joins / windows / time buckets)
+    q["tpch_q1"] = lambda spark, sf: (
+        _tbl(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+    q["orders_by_region"] = _orders_by_region
+    q["events_hourly"] = lambda spark, sf: (
+        _tbl(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    q["top_event_users"] = lambda spark, sf: (
+        _tbl(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"))
+        .orderBy(F.col("value_cents").desc(), "user_id")
+        .limit(10)
+    )
+    q["distinct_event_types"] = lambda spark, sf: (
+        _tbl(spark, sf, "events").select("event_type").distinct()
+    )
+    q["user_sessions"] = _user_sessions
+    return q
+
+
+def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _tbl(spark, sf, "orders")
+    customer = _tbl(spark, sf, "customer")
+    nation = _tbl(spark, sf, "nation")
+    region = _tbl(spark, sf, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+
+
+def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    events = _tbl(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ; session TZ=UTC
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("bigint").alias("n_sessions"))
+    )
+
+
+# --------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    c = str(_cache(SF_CORRECTNESS))
+    exp = f"read_parquet('{c}/expected_parsed.parquet')"
+    pages = f"read_parquet('{c}/pages.parquet')"
+    host_geo = f"read_parquet('{c}/host_geo.parquet')"
+    lang_locale = f"read_parquet('{c}/lang_locale.parquet')"
+    parsed_cols = ", ".join(f'"{col}"' for col in PARSED_COLS)
+    quality = (
+        "CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 "
+        "THEN 0.0 ELSE "
+        "0.5 * least(CAST(n_chars AS DOUBLE), 400.0) / 400.0 + "
+        "0.5 * (len(list_filter(string_split_regex(text, '\\s+'), "
+        "t -> t IN ('the', 'a', 'and', 'of'))) "
+        "/ CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE)) END"
+    )
+    return {
+        "parse_records": f"SELECT {parsed_cols} FROM {exp}",
+        "parse_severity_counts": f"SELECT severity, count(*) AS n FROM {exp} GROUP BY severity",
+        "parse_source_counts": f'SELECT "source", count(*) AS n FROM {exp} GROUP BY "source"',
+        "find_node_sorted": (
+            f'SELECT url, record_idx, "datetime", severity, message FROM {exp} '
+            "WHERE node = 'n05' ORDER BY \"datetime\" DESC, url, record_idx"
+        ),
+        "point_lookup_url": (
+            f'SELECT url, record_idx, severity, "datetime", message FROM {exp} '
+            "WHERE url LIKE '%/00000042'"
+        ),
+        "enrich_geo_counts": (
+            f"SELECT geo, locale, count(*) AS n FROM {exp} e "
+            f"LEFT JOIN {host_geo} g USING (host) "
+            f"LEFT JOIN {lang_locale} l USING (lang) "
+            "GROUP BY geo, locale"
+        ),
+        "route_counts": (
+            f"SELECT node || '/' || log_type AS route, count(*) AS n FROM {exp} GROUP BY 1"
+        ),
+        "sink_agg_hourly": (
+            "SELECT host, lang, date_trunc('hour', warc_ts) AS bucket, "
+            "count(*) AS n_rows, CAST(sum(length(message)) AS BIGINT) AS total_msg_chars "
+            f"FROM {exp} GROUP BY 1, 2, 3"
+        ),
+        "host_agg_salted": (
+            "SELECT host, count(*) AS n_rows, "
+            "CAST(sum(length(message)) AS BIGINT) AS total_msg_chars "
+            f"FROM {exp} GROUP BY host"
+        ),
+        "pages_langid": f"SELECT url, lang_pred FROM read_parquet('{c}/expected_langid.parquet')",
+        "doc_fingerprints": f"SELECT doc_id, fp FROM read_parquet('{c}/expected_doc_fp.parquet')",
+        "doc_token_stats": (
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) "
+            "AS total_tokens FROM documents GROUP BY lang"
+        ),
+        "doc_quality_by_source": (
+            f'SELECT "source", count(*) AS n_docs, round(avg({quality}), 6) AS avg_quality '
+            'FROM documents GROUP BY "source"'
+        ),
+        "dedup_exact_docs": (
+            "SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_shingle_pairs": (
+            f"SELECT url_a, url_b, shared, na, nb FROM read_parquet('{c}/expected_dupes.parquet')"
+        ),
+        "ann_topk": _ANN_ORACLE,
+        "ann_topk_numpy": _ANN_ORACLE,
+        "html_meta": (
+            "SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes, "
+            f"CAST(length(text) AS BIGINT) AS text_chars, lang FROM {pages}"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_region": (
+            "SELECT r_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "top_event_users": (
+            "SELECT user_id, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY user_id "
+            "ORDER BY value_cents DESC, user_id LIMIT 10"
+        ),
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "user_sessions": (
+            "SELECT user_id, CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > "
+            "1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM ("
+            "SELECT user_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS prev_us FROM events) GROUP BY user_id"
+        ),
+        # no oracle (probabilistic / stub kernels — driver records rows-only):
+        # dedup_minhash_lsh, ann_lsh, media_decode_stub
+    }
+
+
+_ANN_ORACLE = (
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+    "FROM embeddings WHERE vec_id < 8), "
+    "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "s AS (SELECT qid, nid, list_cosine_similarity(qe, e) AS sim "
+    "FROM q CROSS JOIN c WHERE nid <> qid) "
+    "SELECT qid, nid, rank FROM (SELECT qid, nid, "
+    "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s) "
+    "WHERE rank <= 5"
+)

@@ -1,0 +1,60 @@
+"""Per-sink aggregates — Catalyst hash aggregation, plus an explicitly
+salted two-phase variant for skewed host keys.
+
+The reference's aggregate semantics are count-shaped invariants (severity /
+source histograms, per-batch row counts — SURVEY.md §2.4); the north-star
+promotes them to `groupBy(host, lang, time-bucket) → count/sum`. All sums
+here are over int64 (char lengths, counts) so salting / partial-final
+recombination is exactly associative — no float-order hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# above this share of rows a host is "hot" and worth salting when the
+# downstream agg key is the host alone (Zipf head in web corpora)
+DEFAULT_SALT_BUCKETS = 16
+
+
+def severity_counts(parsed: DataFrame) -> DataFrame:
+    """A2 analog: count by severity (partial+final hash agg — no custom work)."""
+    return parsed.groupBy("severity").agg(F.count("*").alias("n"))
+
+
+def source_counts(parsed: DataFrame) -> DataFrame:
+    """A3 analog: count by source (null source = shifted/absent field)."""
+    return parsed.groupBy("source").agg(F.count("*").alias("n"))
+
+
+def sink_agg_hourly(parsed: DataFrame) -> DataFrame:
+    """Per-sink aggregate: groupBy(host, lang, hour-bucket of warc_ts) →
+    row count + total message chars (int64-exact)."""
+    return (
+        parsed.groupBy(
+            "host", "lang", F.date_trunc("hour", F.col("warc_ts")).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("message")).alias("total_msg_chars"),
+        )
+    )
+
+
+def host_agg_salted(parsed: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Two-phase salted aggregate over the skewed ``host`` key.
+
+    Phase 1 groups by (host, salt) — the hot host's rows spread over
+    ``buckets`` reducers; phase 2 recombines per host. count/sum over int64
+    are associative, so the result equals the unsalted plan exactly.
+    """
+    salted = parsed.withColumn(
+        "_salt", F.pmod(F.xxhash64("url", "record_idx"), F.lit(buckets))
+    )
+    partial = salted.groupBy("host", "_salt").agg(
+        F.count("*").alias("_n"), F.sum(F.length("message")).alias("_chars")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("_n").alias("n_rows"), F.sum("_chars").alias("total_msg_chars")
+    )

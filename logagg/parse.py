@@ -1,0 +1,172 @@
+"""Vectorized parse stage — Arrow-batched ``mapInPandas`` over the pages table.
+
+Spark-first layout: the only work Python does is the byte-identity-critical
+record extraction (multi-line coalesce + csv field split + strptime — the
+semantics pinned by the reference, see ``logagg.refparse`` docstring for the
+spec and citations). Everything relational — node/log_type/host derivation,
+enrichment joins, routing, aggregation — stays JVM-side in Catalyst.
+
+This is a separate implementation from the ``refparse`` oracle (batch-loop
+style, column accumulators) so the two can be differentially tested; both
+must match the reference-pinned goldens.
+
+Scale posture: one input partition ≈ one Arrow batch stream; no shuffle is
+introduced here (parse is a narrow 1→N flatMap). Drop accounting is exposed
+as an aggregate, not a side effect.
+"""
+
+from __future__ import annotations
+
+import csv
+from datetime import datetime
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logagg.schemas import HOST_RE, LOGTYPE_RE, NODE_RE, PARSED_DDL
+from logagg.refparse import FIELD_NAMES, RECORD_JOINER, SEVERITY_PREFIXES, TS_FORMAT
+
+_N_FIELDS = len(FIELD_NAMES)
+_SEV_I, _JVM_I, _DT_I, _SRC_I, _TYP_I, _MSG_I = range(_N_FIELDS)
+
+
+def _extract_records(text: str) -> list[str]:
+    """Severity-anchored multi-line coalesce (record boundaries)."""
+    out: list[str] = []
+    buf: list[str] = []
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        if buf and line.startswith(SEVERITY_PREFIXES):
+            out.append(RECORD_JOINER.join(buf))
+            buf = []
+        buf.append(line)
+    if buf:
+        out.append(RECORD_JOINER.join(buf))
+    return out
+
+
+def _csv_rows(records: list[str]) -> Iterator[tuple[list[str], str]]:
+    """csv-module field split with file-round-trip semantics (universal
+    newlines, blank-row skip, default '\"' quoting). Yields (fields, source
+    record text) pairs; fields is the raw csv row (variable length)."""
+    payload = "".join(r + "\n" for r in records)
+    payload = payload.replace("\r\n", "\n").replace("\r", "\n")
+    lines = payload.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    it = iter(lines)
+    consumed: list[str] = []
+
+    def _tracking() -> Iterator[str]:
+        for ln in it:
+            consumed.append(ln)
+            yield ln
+
+    for row in csv.reader(_tracking(), delimiter="|"):
+        src = "\n".join(consumed)
+        consumed.clear()
+        if row:
+            yield row, src
+
+
+def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Parse one Arrow batch of pages into parsed-record rows."""
+    urls: list[str] = []
+    langs: list[str | None] = []
+    warcs: list = []
+    idxs: list[int] = []
+    texts: list[str] = []
+    sevs: list[str] = []
+    jvms: list[str | None] = []
+    dts: list[datetime] = []
+    srcs: list[str | None] = []
+    typs: list[str | None] = []
+    msgs: list[str] = []
+
+    col_url = pdf["url"].to_numpy()
+    col_lang = pdf["lang"].to_numpy()
+    col_warc = pdf["warc_ts"].to_numpy()
+    col_text = pdf["text"].to_numpy()
+
+    for url, lang, warc, text in zip(col_url, col_lang, col_warc, col_text):
+        if not isinstance(text, str) or not text:
+            continue
+        idx = -1
+        for row, src_text in _csv_rows(_extract_records(text)):
+            idx += 1
+            f = [row[i] if i < len(row) else None for i in range(_N_FIELDS)]
+            f = [v.strip() if isinstance(v, str) else None for v in f]
+            if f[_MSG_I] is None and f[_TYP_I] is None and f[_SRC_I] is not None:
+                f[_MSG_I], f[_SRC_I] = f[_SRC_I], None
+            raw_dt = f[_DT_I]
+            if raw_dt is None:
+                continue  # missing timestamp → drop (reference TypeError path)
+            try:
+                dt = datetime.strptime(raw_dt, TS_FORMAT)
+            except ValueError:
+                continue  # malformed timestamp → drop
+            if f[_SEV_I] is None or f[_MSG_I] is None:
+                continue  # required-field validation → drop
+            urls.append(url)
+            langs.append(lang)
+            warcs.append(warc)
+            idxs.append(idx)
+            texts.append(src_text)
+            sevs.append(f[_SEV_I])
+            jvms.append(f[_JVM_I])
+            dts.append(dt)
+            srcs.append(f[_SRC_I])
+            typs.append(f[_TYP_I])
+            msgs.append(f[_MSG_I])
+
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype=object),
+            "lang": pd.Series(langs, dtype=object),
+            "warc_ts": pd.Series(warcs, dtype="datetime64[us]"),
+            "record_idx": pd.Series(idxs, dtype="int32"),
+            "extracted_text": pd.Series(texts, dtype=object),
+            "severity": pd.Series(sevs, dtype=object),
+            "jvm": pd.Series(jvms, dtype=object),
+            "datetime": pd.Series(dts, dtype="datetime64[us]"),
+            "source": pd.Series(srcs, dtype=object),
+            "type": pd.Series(typs, dtype=object),
+            "message": pd.Series(msgs, dtype=object),
+        }
+    )
+
+
+def _parse_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield _parse_batch(pdf)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → parsed records.
+
+    Column pruning: only (url, lang, warc_ts, text) cross the Arrow boundary
+    — ``html`` is never deserialized here (Catalyst prunes it at the scan).
+    """
+    pruned = pages.select("url", "lang", "warc_ts", "text")
+    return pruned.mapInPandas(_parse_partition, schema=PARSED_DDL)
+
+
+def with_url_meta(df: DataFrame) -> DataFrame:
+    """Stamp node / log_type / host derived from the url (JVM-side regex —
+    the analog of the reference's filename→node/log_type extraction;
+    regexp_extract returns "" on no-match, same contract)."""
+    return (
+        df.withColumn("node", F.regexp_extract("url", NODE_RE, 1))
+        .withColumn("log_type", F.regexp_extract("url", LOGTYPE_RE, 1))
+        .withColumn("host", F.regexp_extract("url", HOST_RE, 1))
+    )
+
+
+def parsed_records(pages: DataFrame) -> DataFrame:
+    """Full parse stage: vectorized extraction + JVM-side url metadata."""
+    return with_url_meta(parse_pages(pages))

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``ann_bruteforce`` — exact top-k by cosine, pure Catalyst: broadcast the
+  (small) query set, higher-order-function dot product in float64, window
+  top-k. This is also the correctness oracle for approximate variants.
+* ``ann_bruteforce_numpy`` — same semantics, Arrow-batched numpy matmul per
+  partition (the kernel that wins at scale: one BLAS GEMM per batch against
+  a broadcast query matrix, then a global top-k — no NxM row explosion).
+* ``ann_lsh`` — random-hyperplane LSH bucketing, exact re-rank within
+  buckets; recall < 1, bounded work per bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_K = 5
+# few planes → coarse buckets with enough co-bucketed vectors to re-rank;
+# recall/bucket-size trades off via this knob (multi-table probing is the
+# production extension)
+LSH_PLANES = 5
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def ann_bruteforce(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for the first ``n_queries``
+    ids. Output (qid, nid, rank) — rank 1..k by (sim desc, nid asc)."""
+    base = embeddings.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("emb")
+    )
+    queries = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            _cosine(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def _numpy_topk(queries_np: np.ndarray, qids: np.ndarray, k: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qn = queries_np / np.linalg.norm(queries_np, axis=1, keepdims=True)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mn.T  # (n_queries, batch)
+            out_q, out_n, out_s = [], [], []
+            top = min(k + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                part = np.argpartition(-sims[qi], top - 1)[:top]
+                for j in part:
+                    if ids[j] == qids[qi]:
+                        continue
+                    out_q.append(qids[qi])
+                    out_n.append(ids[j])
+                    out_s.append(sims[qi, j])
+            yield pd.DataFrame(
+                {
+                    "qid": pd.Series(out_q, dtype="int64"),
+                    "nid": pd.Series(out_n, dtype="int64"),
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    return run
+
+
+def ann_bruteforce_numpy(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFrame:
+    """Same result as ann_bruteforce, computed as partition-local GEMM +
+    per-partition top-k, then a global window top-k over the tiny residue."""
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qnp = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        _numpy_topk(qnp, qids, k), schema="qid long, nid long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFrame:
+    """Random-hyperplane LSH: bucket by sign pattern, exact re-rank within
+    the query's bucket. Approximate (recall < 1), bucket-bounded work."""
+    rng = np.random.default_rng(0xA11CE)
+    first = embeddings.select("embedding").first()
+    dim = len(first["embedding"])
+    planes = rng.standard_normal((LSH_PLANES, dim))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0
+            codes = bits @ (1 << np.arange(LSH_PLANES))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "bucket": pd.Series(codes, dtype="int64"),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    emb_field = embeddings.schema["embedding"].dataType.simpleString()
+    bucketed = embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize, schema=f"vec_id long, bucket long, embedding {emb_field}"
+    )
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket"),
+        F.col("embedding").alias("qemb"),
+    )
+    scored = (
+        bucketed.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            _cosine(_as_double(F.col("qemb")), _as_double(F.col("embedding"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )

@@ -1,0 +1,71 @@
+"""Pure-Python text-analysis functions — oracles for the Spark operators in
+``logagg.textstats`` / ``logagg.dedup``. Deterministic, dependency-free."""
+
+from __future__ import annotations
+
+from logagg.schemas import (
+    FP_BASE,
+    FP_MOD,
+    JACCARD_DEN,
+    JACCARD_NUM,
+    LANG_MARKERS,
+    LANG_UNKNOWN,
+    SHINGLE_K,
+    SHINGLE_SEP,
+)
+
+
+def tokens(text: str) -> list[str]:
+    """Whitespace tokenization (any run of whitespace; no empties)."""
+    return text.split()
+
+
+def shingle_set(text: str, k: int = SHINGLE_K) -> set[str]:
+    """Set of k-token shingles; short docs collapse to one whole-doc shingle."""
+    toks = tokens(text)
+    if len(toks) < k:
+        return {SHINGLE_SEP.join(toks)} if toks else set()
+    return {SHINGLE_SEP.join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard_ge_threshold(shared: int, na: int, nb: int) -> bool:
+    """J = shared/(na+nb-shared) >= 0.8, in exact integer arithmetic."""
+    return JACCARD_NUM * shared >= JACCARD_DEN * (na + nb)
+
+
+def lang_id(text: str) -> str:
+    """Marker-token language ID: argmax of per-language marker hits over the
+    token multiset; ties break to the lexicographically smallest language;
+    zero hits everywhere → "und"."""
+    toks = tokens(text)
+    best_lang = LANG_UNKNOWN
+    best_score = 0
+    for lang in sorted(LANG_MARKERS):
+        markers = set(LANG_MARKERS[lang])
+        score = sum(1 for t in toks if t in markers)
+        if score > best_score:
+            best_score = score
+            best_lang = lang
+    return best_lang
+
+
+def fingerprint(text: str) -> int:
+    """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1 (fits int64)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * FP_BASE + b) % FP_MOD
+    return h
+
+
+def quality_score(text: str, n_chars: int) -> float:
+    """Document quality heuristic: mix of length saturation and stopword
+    density. Pure arithmetic on ints + one division → bit-identical across
+    engines given the same inputs."""
+    toks = tokens(text)
+    n_tokens = len(toks)
+    if n_tokens == 0:
+        return 0.0
+    stop_hits = sum(1 for t in toks if t in ("the", "a", "and", "of"))
+    len_score = min(n_chars, 400) / 400.0
+    stop_ratio = stop_hits / n_tokens
+    return 0.5 * len_score + 0.5 * stop_ratio

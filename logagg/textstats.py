@@ -1,0 +1,95 @@
+"""Text-analysis operators for a training-data pipeline, Spark-first.
+
+Everything here except the fingerprint stays in Catalyst (split/filter/size
+higher-order functions — JVM-side, codegen'd); the rolling-hash fingerprint
+is an Arrow-batched pandas UDF (a per-byte loop has no SQL expression).
+Differential oracles live in ``logagg.textfns``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logagg.schemas import FP_BASE, FP_MOD, LANG_MARKERS, LANG_UNKNOWN
+
+STOPWORDS = ("the", "a", "and", "of")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, Python-str.split() semantics (no empties)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_hits(text: Column) -> Column:
+    toks = tokens_col(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Mirror of textfns.quality_score: 0.5·len-saturation + 0.5·stop-ratio."""
+    n_tok = token_count(text)
+    len_score = F.least(n_chars.cast("double"), F.lit(400.0)) / F.lit(400.0)
+    stop_ratio = stopword_hits(text).cast("double") / n_tok.cast("double")
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.lit(0.5) * len_score + F.lit(0.5) * stop_ratio
+    )
+
+
+def with_lang_pred(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-token language ID, pure Catalyst.
+
+    Per-language hit counts land in named intermediate columns (one shared
+    tokenization), then argmax = first language in sorted order reaching the
+    max — the same (score desc, lang asc) tie-break as the Python oracle.
+    A naive nested-``when`` fold would double the expression tree per
+    language (2^N codegen blowup — measured 70 s for 6 languages on 6k
+    rows); named columns keep it linear (<1 s).
+    """
+    def _hits(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda (a 2-arg lambda means (element, index) to F.filter)
+        return F.size(F.filter(F.col("_toks"), lambda t: t.isin(*markers)))
+
+    langs = sorted(LANG_MARKERS)
+    tmp = df.withColumn("_toks", tokens_col(F.col(text_col)))
+    for lang in langs:
+        tmp = tmp.withColumn(f"_s_{lang}", _hits(LANG_MARKERS[lang]))
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.lit(LANG_UNKNOWN)
+    for lang in reversed(langs):  # build backwards so earlier langs win ties
+        pred = F.when((F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return tmp.withColumn(out_col, pred).drop("_toks", *[f"_s_{lang}" for lang in langs])
+
+
+def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fp(text: str) -> int:
+        h = 0
+        for b in text.encode("utf-8"):
+            h = (h * FP_BASE + b) % FP_MOD
+        return h
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "fp": pd.Series(
+                    [fp(t) if isinstance(t, str) else 0 for t in pdf["text"]],
+                    dtype="int64",
+                ),
+            }
+        )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint (doc_id, fp) — Arrow-batched."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _fp_batches, schema="doc_id long, fp long"
+    )
