@@ -208,7 +208,7 @@ def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
 def oracle_sql() -> dict[str, str]:
     c = str(_cache(SF_CORRECTNESS))
     exp = f"read_parquet('{c}/expected_parsed.parquet')"
-    pages = f"read_parquet('{c}/pages.parquet')"
+    pages = f"read_parquet('{c}/pages.parquet/*.parquet')"
     host_geo = f"read_parquet('{c}/host_geo.parquet')"
     lang_locale = f"read_parquet('{c}/lang_locale.parquet')"
     parsed_cols = ", ".join(f'"{col}"' for col in PARSED_COLS)

@@ -71,24 +71,42 @@ def jaccard_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text") ->
     """
     sh = shingles(df, id_col, text_col)
 
-    # stop-shingle cut: df(shingle) <= DF_MAX (broadcast of the agg output is
-    # NOT safe — most shingles survive — so this is a shuffle join; AQE
-    # handles sizing).
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    kept = (
-        sh.join(df_counts, "shingle")
-        .filter(F.col("_df") <= DEDUP_DF_MAX)
-        .select("id", "shingle")
+    # One aggregation produces both the document-frequency cut and the
+    # postings list: collect ids per shingle, keep lists of size 2..DF_MAX
+    # (df=1 shingles pair with nothing; df>DF_MAX are stop-shingles).
+    # Persisted because sizes and pairs both consume it — without this the
+    # whole explode+shuffle subtree runs twice.
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") <= DEDUP_DF_MAX)
+        .persist()
     )
 
-    sizes = kept.groupBy("id").agg(F.count("*").alias("set_size"))
+    sizes = (
+        postings.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("set_size"))
+    )
 
-    a = kept.alias("a")
-    b = kept.alias("b")
+    # pairwise combinations per postings list, JVM-side: ids are sorted, so
+    # (ids[i], y in ids[i+1:]) enumerates each unordered pair once with
+    # url_a < url_b. Replaces a full self-join shuffle of the exploded
+    # (id, shingle) table with one explode over DF_MAX-bounded lists.
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"))
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.url_a").alias("url_a"), F.col("p.url_b").alias("url_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
@@ -152,14 +170,15 @@ def _band_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def minhash_candidates(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+def minhash_candidates(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", _shingles: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs: equal (band, minhash-band-key) → same bucket."""
-    sh_lists = (
-        shingles(df, id_col, text_col)
-        .groupBy("id")
-        .agg(F.collect_list("shingle").alias("shingle_list"))
-    )
-    bands = sh_lists.mapInPandas(_band_batches, schema="id string, band int, key string")
+    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col)
+    sh_lists = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingle_list"))
+    bands = sh_lists.mapInPandas(
+        _band_batches, schema="id string, band int, key string"
+    ).persist()  # self-joined below: without persist the minhash UDF runs twice
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -177,8 +196,8 @@ def minhash_lsh_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text"
     defeat the exact pair join. Recall < 1 by construction (banding curve);
     precision = 1 because candidates are exactly verified.
     """
-    cands = minhash_candidates(df, id_col, text_col)
-    sh = shingles(df, id_col, text_col)
+    sh = shingles(df, id_col, text_col).persist()  # consumed 4× below
+    cands = minhash_candidates(df, id_col, text_col, _shingles=sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a_sh = sh.select(F.col("id").alias("url_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("url_b"), "shingle")

@@ -30,7 +30,8 @@ from logagg import refparse, textfns
 from logagg.schemas import HOST_RE, LANG_MARKERS, LOGTYPE_RE, NODE_RE
 
 CACHE_ROOT = Path(__file__).resolve().parent.parent / ".cache" / "pages"
-GEN_VERSION = 5
+GEN_VERSION = 6
+PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
 
@@ -188,6 +189,22 @@ def _write(path: Path, table: pa.Table) -> None:
     pq.write_table(table, path, compression="zstd")
 
 
+def _write_chunked(dir_path: Path, table: pa.Table, rows_per_file: int = PAGES_ROWS_PER_FILE) -> None:
+    """Write a table as a directory of parquet part-files (like any real
+    distributed table) so Spark gets one scan split per file."""
+    import shutil
+
+    if dir_path.exists():
+        shutil.rmtree(dir_path)
+    dir_path.mkdir(parents=True)
+    n = table.num_rows
+    part = 0
+    for start in range(0, n, rows_per_file):
+        chunk = table.slice(start, rows_per_file)
+        pq.write_table(chunk, dir_path / f"part-{part:05d}.parquet", compression="zstd")
+        part += 1
+
+
 def _pages_table(cols: dict[str, list]) -> pa.Table:
     return pa.table(
         {
@@ -335,7 +352,7 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
     cdir.mkdir(parents=True, exist_ok=True)
     sf_name = cdir.name
     cols = generate_pages(sf_name)
-    _write(cdir / "pages.parquet", _pages_table(cols))
+    _write_chunked(cdir / "pages.parquet", _pages_table(cols))
     host_geo, lang_locale = _lookup_tables()
     _write(cdir / "host_geo.parquet", host_geo)
     _write(cdir / "lang_locale.parquet", lang_locale)
