@@ -46,13 +46,21 @@ def _pipeline(spark, sf_dir: str, replicate: int = 1):
     from logagg import aggregate, enrich, parse, synth
 
     cache = synth.ensure_cache(sf_dir, expected=False)
-    pages = spark.read.parquet(str(cache / "pages.parquet"))
+    path = str(cache / "pages.parquet")
+    pages = spark.read.parquet(path)
     if replicate > 1:
-        pages = (
-            pages.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
-            .withColumn("url", F.concat_ws("#", "url", "_rep"))
-            .drop("_rep")
-        )
+        # replicate as a union of scans (not an explode): N× the input
+        # splits → task granularity that divides any core count, no shuffle,
+        # and per-task work stays constant as the job scales
+        reps = [
+            spark.read.parquet(path).withColumn(
+                "url", F.concat_ws("#", "url", F.lit(str(i)))
+            )
+            for i in range(replicate)
+        ]
+        pages = reps[0]
+        for r in reps[1:]:
+            pages = pages.unionByName(r)
     host_geo, lang_locale = enrich.load_lookups(spark, cache)
     parsed = parse.parsed_records(pages)
     enriched = enrich.enrich(parsed, host_geo, lang_locale)
@@ -66,35 +74,52 @@ def scaling_worker(master: str, sf_dir: str, replicate: int) -> None:
     synth.ensure_cache(sf_dir, expected=False)  # warm cache before timing
     n = int(master[6:-1]) if master.startswith("local[") else CPUS
     spark = get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=n)
-    agg = _pipeline(spark, sf_dir, replicate)
-    t0 = time.time()
     from pyspark.sql import functions as F
 
+    # warm-up: run the same plan shape once at 1× so JVM codegen, parquet
+    # footer caches, and the Python worker pool are steady-state — the
+    # scaling criterion is about sustained throughput, not JVM cold start
+    _pipeline(spark, sf_dir, 1).agg(F.sum("n_rows")).collect()
+    agg = _pipeline(spark, sf_dir, replicate)
+    t0 = time.time()
     row = agg.agg(F.sum("n_rows").alias("records")).collect()[0]
     elapsed = time.time() - t0
     print(json.dumps({"elapsed": elapsed, "records": int(row["records"])}))
 
 
+SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+
+
+def _one_worker(n: int, sf_dir: str) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable,
+            __file__,
+            "--scaling-worker",
+            f"--master=local[{n}]",
+            f"--sf-dir={sf_dir}",
+            f"--replicate={REPLICATE}",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def run_scaling(sf_dir: str) -> dict:
     lo = max(2, CPUS // 4)
     hi = CPUS
+    # alternate configs across repeats and take the median elapsed — the
+    # sandbox shares cores with other tenants, and single runs swing 2-4x
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(SCALING_RUNS):
+        for n in (hi, lo):
+            runs[n].append(_one_worker(n, sf_dir))
     out = {}
     for n in (lo, hi):
-        proc = subprocess.run(
-            [
-                sys.executable,
-                __file__,
-                "--scaling-worker",
-                f"--master=local[{n}]",
-                f"--sf-dir={sf_dir}",
-                f"--replicate={REPLICATE}",
-            ],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        out[n] = json.loads(line)
+        ordered = sorted(runs[n], key=lambda r: r["elapsed"])
+        out[n] = ordered[len(ordered) // 2]
     r_lo = out[lo]["records"] / out[lo]["elapsed"]
     r_hi = out[hi]["records"] / out[hi]["elapsed"]
     eff = (r_hi / r_lo) / (hi / lo)
@@ -105,6 +130,8 @@ def run_scaling(sf_dir: str) -> dict:
         "rows_per_sec_hi": round(r_hi),
         "elapsed_lo": round(out[lo]["elapsed"], 2),
         "elapsed_hi": round(out[hi]["elapsed"], 2),
+        "all_elapsed_lo": [round(r["elapsed"], 2) for r in runs[lo]],
+        "all_elapsed_hi": [round(r["elapsed"], 2) for r in runs[hi]],
         "records": out[hi]["records"],
         "efficiency": round(eff, 3),
     }

@@ -1,0 +1,58 @@
+"""Operator-level invariants: salted agg equality, enrichment null
+preservation, routing conservation, exact dedup."""
+
+from pyspark.sql import functions as F
+
+from logagg import aggregate, dedup, enrich, parse, route
+
+
+def _parsed(spark, pages_cache):
+    return parse.parsed_records(
+        spark.read.parquet(str(pages_cache / "pages.parquet"))
+    )
+
+
+def test_salted_agg_equals_plain(spark, pages_cache):
+    """The two-phase salted plan must recombine to exactly the unsalted
+    result (int64 aggregates are associative — SURVEY.md §7 hard part #2)."""
+    parsed = _parsed(spark, pages_cache).cache()
+    plain = (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("message")).alias("total_msg_chars"),
+        )
+        .collect()
+    )
+    salted = aggregate.host_agg_salted(parsed).collect()
+    as_map = lambda rows: {r["host"]: (r["n_rows"], r["total_msg_chars"]) for r in rows}  # noqa: E731
+    assert as_map(plain) == as_map(salted)
+    # skew exists by construction (Zipf hosts) — hottest host carries >5% of rows
+    counts = sorted((r["n_rows"] for r in plain), reverse=True)
+    assert counts[0] > 0.05 * sum(counts)
+
+
+def test_enrich_preserves_rows_and_nulls(spark, pages_cache):
+    host_geo, lang_locale = enrich.load_lookups(spark, pages_cache)
+    parsed = _parsed(spark, pages_cache).cache()
+    enriched = enrich.enrich(parsed, host_geo, lang_locale)
+    assert enriched.count() == parsed.count()  # left joins: no row loss/dup
+    # 20% of hosts are intentionally absent from host_geo → null geo rows
+    assert enriched.filter(F.col("geo").isNull()).count() > 0
+    # every lang is covered → locale never null
+    assert enriched.filter(F.col("locale").isNull()).count() == 0
+
+
+def test_route_counts_conserve_total(spark, pages_cache):
+    parsed = _parsed(spark, pages_cache).cache()
+    counts = route.route_counts(parsed).collect()
+    assert sum(r["n"] for r in counts) == parsed.count()
+    # route key mirrors outdir/<node>/<log_type> (helper.py:76-80 analog)
+    assert all("/" in r["route"] for r in counts)
+
+
+def test_exact_dupes_finds_injected_copies(spark, pages_cache):
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    groups = dedup.exact_dupes(pages, id_col="url", text_col="text").collect()
+    assert sum(r["n"] for r in groups) == pages.count()
+    assert any(r["n"] >= 2 for r in groups)  # synth injects exact copies

@@ -1,0 +1,63 @@
+"""End-to-end pipeline + checkpoint/resume tests (kill-and-resume model)."""
+
+import json
+from pathlib import Path
+
+from logagg.pipeline import run_pipeline
+from tests.conftest import SF_SMOKE
+
+
+def test_pipeline_end_to_end(spark, pages_cache, tmp_path):
+    out = tmp_path / "out"
+    results = run_pipeline(spark, SF_SMOKE, str(out))
+    # parse rows match the oracle expected table
+    import pyarrow.parquet as pq
+
+    n_expected = pq.read_metadata(pages_cache / "expected_parsed.parquet").num_rows
+    assert results["parse"]["rows"] == n_expected
+    # routed rows conserved across the fan-out
+    assert results["route"]["rows"] == n_expected
+    assert len(results["route"]["sinks"]) > 50  # node x log_type fan-out
+    # physical layout is partitioned by the routing keys
+    assert any(p.name.startswith("node=") for p in (out / "routed").iterdir())
+    # routed-row-set equality per sink: read one partition back and compare
+    sinks = results["route"]["sinks"]
+    some_route = sorted(sinks)[0]
+    node, log_type = some_route.split("/")
+    part = spark.read.parquet(str(out / "routed")).filter(
+        f"node = '{node}' and log_type = '{log_type}'"
+    )
+    assert part.count() == sinks[some_route]
+    # severity invariant flows through to the aggregate stage
+    assert set(results["aggregate"]["severity_counts"]) >= {"INFO", "WARN", "ERROR"}
+
+
+def test_pipeline_resume_skips_completed(spark, tmp_path):
+    out = tmp_path / "out"
+    run_pipeline(spark, SF_SMOKE, str(out))
+    # second run: all markers match → no stage re-executes (same metrics,
+    # identical completed_at timestamps prove fn() never ran)
+    before = {
+        p.name: json.loads(p.read_text())["completed_at"]
+        for p in (out / "_meta").glob("*.json")
+    }
+    run_pipeline(spark, SF_SMOKE, str(out))
+    after = {
+        p.name: json.loads(p.read_text())["completed_at"]
+        for p in (out / "_meta").glob("*.json")
+    }
+    assert before == after
+
+
+def test_pipeline_resume_reruns_invalidated_stage(spark, tmp_path):
+    out = tmp_path / "out"
+    run_pipeline(spark, SF_SMOKE, str(out))
+    # simulate a crash after stage 1: later markers lost → only they rerun
+    (out / "_meta" / "route.json").unlink()
+    (out / "_meta" / "aggregate.json").unlink()
+    parse_before = json.loads((out / "_meta" / "parse.json").read_text())["completed_at"]
+    results = run_pipeline(spark, SF_SMOKE, str(out))
+    parse_after = json.loads((out / "_meta" / "parse.json").read_text())["completed_at"]
+    assert parse_before == parse_after  # parse stage skipped
+    assert (out / "_meta" / "route.json").exists()  # route re-ran
+    assert results["route"]["rows"] == results["parse"]["rows"]

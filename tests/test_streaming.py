@@ -1,0 +1,25 @@
+"""Streaming parse+aggregate must equal the batch plan on the same input."""
+
+from pyspark.sql import functions as F
+
+from logagg import aggregate, parse, streaming
+
+
+def test_streaming_agg_equals_batch(spark, pages_cache):
+    pages_dir = str(pages_cache / "pages.parquet")
+    got = streaming.run_stream_to_memory(spark, pages_dir).collect()
+
+    batch = (
+        aggregate.sink_agg_hourly(
+            parse.parsed_records(spark.read.parquet(pages_dir))
+        )
+        .select(
+            F.col("bucket"), "host", "lang", "n_rows", "total_msg_chars"
+        )
+        .collect()
+    )
+    key = lambda r: (r["bucket"], r["host"], r["lang"])  # noqa: E731
+    got_map = {key(r): (r["n_rows"], r["total_msg_chars"]) for r in got}
+    batch_map = {key(r): (r["n_rows"], r["total_msg_chars"]) for r in batch}
+    assert got_map == batch_map
+    assert len(got_map) > 100
