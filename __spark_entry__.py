@@ -16,7 +16,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logagg import aggregate, dedup, enrich, multimodal, parse, route, similarity, synth, textstats
+from logagg import (
+    aggregate,
+    dedup,
+    enrich,
+    multimodal,
+    parse,
+    route,
+    similarity,
+    synth,
+    textstats,
+    view,
+)
 
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
@@ -76,6 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- parse family (SURVEY.md §2.2 P1-P11) — differential vs refparse
     q["parse_records"] = lambda spark, sf: _parsed(spark, sf).select(*PARSED_COLS)
+    # binary-payload decode path (S2 analog): identical output from `html`
+    q["parse_from_html"] = lambda spark, sf: parse.with_url_meta(
+        parse.parse_pages(_pages(spark, sf), source="html")
+    ).select(*PARSED_COLS)
+    # display projection (SURVEY.md §2.3 Q4, golden-tested in tests/test_view.py)
+    q["render_lines"] = lambda spark, sf: view.render_lines(_parsed(spark, sf))
     q["parse_severity_counts"] = lambda spark, sf: aggregate.severity_counts(_parsed(spark, sf))
     q["parse_source_counts"] = lambda spark, sf: aggregate.source_counts(_parsed(spark, sf))
 
@@ -129,6 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dupes(_tbl(spark, sf, "documents"))
     q["dedup_shingle_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_pages(spark, sf))
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(_pages(spark, sf))
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_dupes(_pages(spark, sf))
+    q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_dupes(
+        _tbl(spark, sf, "embeddings")
+    )
 
     # ---- similarity search
     q["ann_topk"] = lambda spark, sf: similarity.ann_bruteforce(_tbl(spark, sf, "embeddings"))
@@ -224,8 +245,20 @@ def oracle_sql() -> dict[str, str]:
         "t -> t IN ('the', 'a', 'and', 'of'))) "
         "/ CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE)) END"
     )
+    render_line = (
+        "'| ' || url || '#' || CAST(record_idx AS VARCHAR) || chr(9) || "
+        "'| ' || coalesce(node, 'None') || chr(9) || "
+        "'| ' || coalesce(severity, 'None') || chr(9) || "
+        "'| ' || coalesce(jvm, 'None') || chr(9) || "
+        "'| ' || strftime(\"datetime\", '%Y-%m-%d %H:%M:%S') || chr(9) || "
+        "'| ' || coalesce(\"source\", 'None') || chr(9) || "
+        "'| ' || coalesce(\"type\", 'None') || chr(9) || "
+        "'| ' || coalesce(message, 'None') || chr(9) || '|'"
+    )
     return {
         "parse_records": f"SELECT {parsed_cols} FROM {exp}",
+        "parse_from_html": f"SELECT {parsed_cols} FROM {exp}",
+        "render_lines": f"SELECT url, record_idx, {render_line} AS line FROM {exp}",
         "parse_severity_counts": f"SELECT severity, count(*) AS n FROM {exp} GROUP BY severity",
         "parse_source_counts": f'SELECT "source", count(*) AS n FROM {exp} GROUP BY "source"',
         "find_node_sorted": (
@@ -272,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_shingle_pairs": (
             f"SELECT url_a, url_b, shared, na, nb FROM read_parquet('{c}/expected_dupes.parquet')"
+        ),
+        "dedup_embedding_cosine": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.e, b.e), 4) AS sim "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.e, b.e) >= 0.4"
         ),
         "ann_topk": _ANN_ORACLE,
         "ann_topk_numpy": _ANN_ORACLE,

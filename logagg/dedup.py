@@ -1,5 +1,6 @@
-"""Deduplication operators — exact, shingle-Jaccard (exact, distributed),
-and MinHash-LSH (the probabilistic scale path).
+"""Deduplication operators — exact (md5), shingle-Jaccard (exact,
+distributed), MinHash-LSH (probabilistic scale path), SimHash (Hamming
+near-dup, pigeonhole-exact banding), and embedding-cosine near-dup.
 
 Design for 100 TB:
 * exact dedup — one hash-agg on md5(text); Catalyst partial+final.
@@ -122,6 +123,108 @@ def jaccard_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text") ->
     )
 
 
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+_SIM_BANDS = 4  # pigeonhole: dist<=3 → at least one of 4 16-bit bands equal
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import zlib
+
+    weights = (1 << np.arange(SIMHASH_BITS, dtype=np.uint64)).astype(np.uint64)
+    for pdf in batches:
+        ids, sims = [], []
+        for did, text in zip(pdf["id"], pdf["text"]):
+            toks = text.split() if isinstance(text, str) else []
+            if not toks:
+                continue
+            h = np.fromiter(
+                (zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32) for t in set(toks)),
+                dtype=np.uint64,
+            )
+            bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            sims.append(int(((vote > 0).astype(np.uint64) * weights).sum()))
+            ids.append(did)
+        yield pd.DataFrame(
+            {"id": pd.Series(ids, dtype=object), "simhash": pd.Series(sims, dtype="uint64").astype("int64")}
+        )
+
+
+def simhash(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (token-set sign-vote, Arrow-batched)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_simhash_batches, schema="id string, simhash long")
+
+
+def simhash_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with Hamming distance <= 3 between SimHashes.
+
+    Banding (4×16 bits) is exact here by pigeonhole — ≤3 differing bits
+    leave at least one band identical — so this finds ALL qualifying pairs
+    with bucket-bounded join fan-out (no |corpus|² scan).
+    """
+    sh = simhash(df, id_col, text_col).persist()
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(_SIM_BANDS)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("url_a"),
+            F.col("b.id").alias("url_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_dupes(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Exact O(n²) formulation for the oracle scale; the production path is
+    the LSH bucketing in logagg.similarity (same kernel, bounded buckets).
+    """
+    base = embeddings.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
 # ----------------------------------------------------------- MinHash-LSH
 
 MINHASH_PERMS = 64
@@ -140,20 +243,28 @@ def _perm_params(n: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _band_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(id, text) → LSH band keys, all inside one Arrow pass: tokenize,
+    shingle (textfns semantics), crc32, vectorized minhash, band split.
+    No explode / collect_list shuffle — the signature never leaves Python
+    until it is 16 short band rows per doc."""
     import zlib
+
+    from logagg import textfns
 
     a, b = _perm_params()
     for pdf in batches:
         ids: list[str] = []
         bands: list[int] = []
         keys: list[str] = []
-        for did, sh_list in zip(pdf["id"], pdf["shingle_list"]):
-            if sh_list is None or len(sh_list) == 0:
+        for did, text in zip(pdf["id"], pdf["text"]):
+            sh_set = textfns.shingle_set(text) if isinstance(text, str) else set()
+            sh_set.discard("")
+            if not sh_set:
                 continue
             x = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in sh_list),
+                (zlib.crc32(s.encode("utf-8")) for s in sh_set),
                 dtype=np.int64,
-                count=len(sh_list),
+                count=len(sh_set),
             )
             sig = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
             for band in range(LSH_BANDS):
@@ -171,12 +282,11 @@ def _band_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def minhash_candidates(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", _shingles: DataFrame | None = None
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
     """LSH candidate pairs: equal (band, minhash-band-key) → same bucket."""
-    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col)
-    sh_lists = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingle_list"))
-    bands = sh_lists.mapInPandas(
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    bands = src.mapInPandas(
         _band_batches, schema="id string, band int, key string"
     ).persist()  # self-joined below: without persist the minhash UDF runs twice
     a = bands.alias("a")
@@ -196,8 +306,18 @@ def minhash_lsh_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text"
     defeat the exact pair join. Recall < 1 by construction (banding curve);
     precision = 1 because candidates are exactly verified.
     """
-    sh = shingles(df, id_col, text_col).persist()  # consumed 4× below
-    cands = minhash_candidates(df, id_col, text_col, _shingles=sh)
+    cands = minhash_candidates(df, id_col, text_col).persist()
+    # exact verification only touches docs that appear in some candidate
+    # pair — semi-join the corpus down before shingling it
+    cand_ids = (
+        cands.select(F.col("url_a").alias("cid"))
+        .union(cands.select(F.col("url_b").alias("cid")))
+        .distinct()
+    )
+    needed = df.join(
+        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = shingles(needed, id_col, text_col).persist()  # consumed 3× below
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a_sh = sh.select(F.col("id").alias("url_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("url_b"), "shingle")

@@ -18,6 +18,7 @@ as an aggregate, not a side effect.
 from __future__ import annotations
 
 import csv
+import re
 from datetime import datetime
 from typing import Iterable, Iterator
 
@@ -31,6 +32,28 @@ from logagg.refparse import FIELD_NAMES, RECORD_JOINER, SEVERITY_PREFIXES, TS_FO
 
 _N_FIELDS = len(FIELD_NAMES)
 _SEV_I, _JVM_I, _DT_I, _SRC_I, _TYP_I, _MSG_I = range(_N_FIELDS)
+
+# fast path for the canonical zero-padded timestamp shape. For strings of
+# this shape, strptime("%Y/%m/%d %H:%M:%S") parses the same six ints and
+# applies the same datetime() range validation — so fast path and fallback
+# are behaviorally identical (fuzz-tested against the strptime oracle).
+_TS_FAST = re.compile(r"^(\d{4})/(\d{2})/(\d{2}) (\d{2}):(\d{2}):(\d{2})$")
+
+
+def _parse_ts(raw: str) -> datetime | None:
+    m = _TS_FAST.match(raw)
+    if m:
+        try:
+            return datetime(
+                int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                int(m.group(4)), int(m.group(5)), int(m.group(6)),
+            )
+        except ValueError:
+            return None
+    try:
+        return datetime.strptime(raw, TS_FORMAT)  # lenient non-padded forms
+    except ValueError:
+        return None
 
 
 def _extract_records(text: str) -> list[str]:
@@ -50,15 +73,18 @@ def _extract_records(text: str) -> list[str]:
     return out
 
 
-def _csv_rows(records: list[str]) -> Iterator[tuple[list[str], str]]:
+def _csv_rows(records: list[str], has_cr: bool) -> Iterator[tuple[list[str], str]]:
     """csv-module field split with file-round-trip semantics (universal
     newlines, blank-row skip, default '\"' quoting). Yields (fields, source
     record text) pairs; fields is the raw csv row (variable length)."""
-    payload = "".join(r + "\n" for r in records)
-    payload = payload.replace("\r\n", "\n").replace("\r", "\n")
-    lines = payload.split("\n")
-    if lines and lines[-1] == "":
-        lines.pop()
+    if not has_cr:
+        lines = records  # no \r anywhere → newline translation is identity
+    else:
+        payload = "".join(r + "\n" for r in records)
+        payload = payload.replace("\r\n", "\n").replace("\r", "\n")
+        lines = payload.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
     it = iter(lines)
     consumed: list[str] = []
 
@@ -97,18 +123,16 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if not isinstance(text, str) or not text:
             continue
         idx = -1
-        for row, src_text in _csv_rows(_extract_records(text)):
+        for row, src_text in _csv_rows(_extract_records(text), "\r" in text):
             idx += 1
-            f = [row[i] if i < len(row) else None for i in range(_N_FIELDS)]
-            f = [v.strip() if isinstance(v, str) else None for v in f]
+            f = [row[i].strip() if i < len(row) else None for i in range(_N_FIELDS)]
             if f[_MSG_I] is None and f[_TYP_I] is None and f[_SRC_I] is not None:
                 f[_MSG_I], f[_SRC_I] = f[_SRC_I], None
             raw_dt = f[_DT_I]
             if raw_dt is None:
                 continue  # missing timestamp → drop (reference TypeError path)
-            try:
-                dt = datetime.strptime(raw_dt, TS_FORMAT)
-            except ValueError:
+            dt = _parse_ts(raw_dt)
+            if dt is None:
                 continue  # malformed timestamp → drop
             if f[_SEV_I] is None or f[_MSG_I] is None:
                 continue  # required-field validation → drop
@@ -146,12 +170,38 @@ def _parse_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _parse_batch(pdf)
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
+def _decode_html_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Binary-payload decode (the reference's zip-member extract analog,
+    aggregator/extract.py:70-104): utf-8 decode the html bytes and cut the
+    payload out of the fixed <pre> wrapper. Runs in the same Arrow batch
+    stream as the parser — one Python hop, not two."""
+    for pdf in batches:
+        texts = []
+        for payload in pdf["html"]:
+            if payload is None:
+                texts.append(None)
+                continue
+            b = bytes(payload)
+            lo = b.find(b"<pre>")
+            hi = b.rfind(b"</pre>")
+            texts.append(b[lo + 5 : hi].decode("utf-8") if 0 <= lo < hi else None)
+        out = pdf[["url", "lang", "warc_ts"]].copy()
+        out["text"] = texts
+        yield _parse_batch(out)
+
+
+def parse_pages(pages: DataFrame, source: str = "text") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → parsed records.
 
-    Column pruning: only (url, lang, warc_ts, text) cross the Arrow boundary
-    — ``html`` is never deserialized here (Catalyst prunes it at the scan).
+    ``source="text"``: only (url, lang, warc_ts, text) cross the Arrow
+    boundary — ``html`` is never deserialized (Catalyst prunes it at the
+    scan). ``source="html"``: the records are extracted from the binary
+    column instead (decode inside the same UDF pass); output is identical
+    when html wraps text — the binary-path byte-identity check.
     """
+    if source == "html":
+        pruned = pages.select("url", "lang", "warc_ts", "html")
+        return pruned.mapInPandas(_decode_html_batches, schema=PARSED_DDL)
     pruned = pages.select("url", "lang", "warc_ts", "text")
     return pruned.mapInPandas(_parse_partition, schema=PARSED_DDL)
 

@@ -16,6 +16,7 @@ duplicate pages are injected so dedup operators have real positives.
 from __future__ import annotations
 
 import json
+import os
 import random
 import re
 import zlib
@@ -29,7 +30,19 @@ import pyarrow.parquet as pq
 from logagg import refparse, textfns
 from logagg.schemas import HOST_RE, LANG_MARKERS, LOGTYPE_RE, NODE_RE
 
-CACHE_ROOT = Path(__file__).resolve().parent.parent / ".cache" / "pages"
+def _cache_root() -> Path:
+    env = os.environ.get("LOGAGG_CACHE_DIR")
+    if env:
+        return Path(env)
+    base = Path(__file__).resolve().parent.parent
+    if base.is_dir():  # source checkout
+        return base / ".cache" / "pages"
+    # zipimport (spark-submit --py-files logagg.zip): __file__ sits inside
+    # the archive — fall back to a per-user cache
+    return Path.home() / ".cache" / "logagg" / "pages"
+
+
+CACHE_ROOT = _cache_root()
 GEN_VERSION = 6
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 

@@ -1,0 +1,70 @@
+"""Print formatted physical plans for the headline queries and grep them for
+the properties that matter at scale:
+
+* parquet scans show PushedFilters / pruned ReadSchema (no ``html`` unless
+  the operator needs it)
+* lookup joins are BroadcastHashJoin, fact-side joins have no needless
+  shuffles
+* relational sections run inside WholeStageCodegen
+
+Usage: python tools/explain_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "parse_records": {
+        "must_not": [r"ReadSchema:.*html"],  # column pruning through mapInPandas
+        "want": [r"ArrowEvalPython|MapInPandas"],
+    },
+    "enrich_geo_counts": {"want": [r"BroadcastHashJoin"], "must_not": [r"SortMergeJoin"]},
+    "orders_by_region": {"want": [r"BroadcastHashJoin"]},
+    # NOTE: AQE formatted plans (isFinalPlan=false) don't render
+    # WholeStageCodegen nodes pre-execution; partial+final HashAggregate and
+    # pushdown lines are the reliable static signals.
+    "tpch_q1": {
+        "want": [r"PushedFilters: \[.*LessThanOrEqual", r"partial_sum"],
+    },
+    "point_lookup_url": {"want": [r"MapInPandas|ArrowEvalPython"]},
+    "sink_agg_hourly": {"want": [r"HashAggregate", r"partial_count|partial_sum"]},
+}
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entrymod
+    from logagg.session import get_spark
+
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
+    qs = entrymod.queries()
+    names = only or list(CHECKS)
+    rc = 0
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"{'='*70}\n{name}\n{'='*70}\n{plan}")
+        for pat in CHECKS.get(name, {}).get("want", []):
+            ok = bool(re.search(pat, plan))
+            print(f"  [{'ok' if ok else 'MISSING'}] want: {pat}")
+            rc |= 0 if ok else 1
+        for pat in CHECKS.get(name, {}).get("must_not", []):
+            bad = bool(re.search(pat, plan))
+            print(f"  [{'VIOLATION' if bad else 'ok'}] must_not: {pat}")
+            rc |= 1 if bad else 0
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
