@@ -175,6 +175,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["orders_by_region"] = _orders_by_region
+    q["tpch_q3_top_orders"] = _tpch_q3_top_orders
+    q["lineitem_rollup"] = lambda spark, sf: (
+        _tbl(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+    )
+    # grok-style configurable extraction (logagg.grok): stack-frame mining
+    q["grok_stack_frames"] = lambda spark, sf: (
+        _parsed(spark, sf)
+        .select(
+            F.explode(
+                F.regexp_extract_all("message", F.lit(_FRAME_RE), F.lit(2))
+            ).alias("java_file")
+        )
+        .groupBy("java_file")
+        .agg(F.count("*").alias("n"))
+    )
     q["events_hourly"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
@@ -195,6 +212,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["user_sessions"] = _user_sessions
     return q
+
+
+_FRAME_RE = r"at ([\w.]+)\(([\w.]+\.java):(\d+)\)"
+
+
+def _tpch_q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Join → agg → sort → limit (TPC-H Q3 shape, exact-integer revenue)."""
+    customer = _tbl(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _tbl(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    lineitem = _tbl(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("bigint")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
 
 
 def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
@@ -325,6 +364,27 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3_top_orders": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "grok_stack_frames": (
+            "SELECT java_file, count(*) AS n FROM ("
+            f"SELECT unnest(regexp_extract_all(message, 'at ([\\w.]+)\\(([\\w.]+\\.java):(\\d+)\\)', 2)) "
+            f"AS java_file FROM {exp}) GROUP BY java_file"
         ),
         "orders_by_region": (
             "SELECT r_name, count(*) AS n_orders, "

@@ -47,6 +47,54 @@ def streaming_sink_agg(pages_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def stateful_host_counts(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-host record count kept in
+    explicit group state (``applyInPandasWithState``) — the pattern for
+    operators Spark's built-in aggregates can't express (per-key custom
+    state machines). Emits the cumulative count on every update."""
+    import pandas as pd
+
+    parsed = parse.parsed_records(pages_stream)
+    hosts = parsed.withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1))
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"host": [key[0]], "n_rows": [total]})
+
+    return hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_rows long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_stateful_to_memory(
+    spark: SparkSession, pages_dir: str, query_name: str = "stateful_counts"
+) -> DataFrame:
+    """Drive the stateful counter over all available files; the last update
+    per host is the final count."""
+    agg = stateful_host_counts(stream_pages(spark, pages_dir))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # updates append per micro-batch: the max per host is the final total
+    return spark.sql(
+        f"SELECT host, max(n_rows) AS n_rows FROM {query_name} GROUP BY host"
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, pages_dir: str, query_name: str = "stream_agg"
 ) -> DataFrame:

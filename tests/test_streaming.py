@@ -23,3 +23,19 @@ def test_streaming_agg_equals_batch(spark, pages_cache):
     batch_map = {key(r): (r["n_rows"], r["total_msg_chars"]) for r in batch}
     assert got_map == batch_map
     assert len(got_map) > 100
+
+
+def test_stateful_host_counts_equals_batch(spark, pages_cache):
+    pages_dir = str(pages_cache / "pages.parquet")
+    got = {
+        r["host"]: r["n_rows"]
+        for r in streaming.run_stateful_to_memory(spark, pages_dir).collect()
+    }
+    batch = {
+        r["host"]: r["n"]
+        for r in parse.parsed_records(spark.read.parquet(pages_dir))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 50
