@@ -211,6 +211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "events").select("event_type").distinct()
     )
     q["user_sessions"] = _user_sessions
+    q["events_pivot"] = lambda spark, sf: (
+        _tbl(spark, sf, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
     return q
 
 
@@ -404,6 +411,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value_cents DESC, user_id LIMIT 10"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "events_pivot": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view "
+            "FROM events GROUP BY 1"
+        ),
         "user_sessions": (
             "SELECT user_id, CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > "
             "1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM ("

@@ -76,10 +76,17 @@ def scaling_worker(master: str, sf_dir: str, replicate: int) -> None:
     spark = get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=n)
     from pyspark.sql import functions as F
 
-    # warm-up: run the same plan shape once at 1× so JVM codegen, parquet
-    # footer caches, and the Python worker pool are steady-state — the
-    # scaling criterion is about sustained throughput, not JVM cold start
-    _pipeline(spark, sf_dir, 1).agg(F.sum("n_rows")).collect()
+    # warm-up: run the same plan shape once on a small slice so JVM codegen,
+    # parquet footer caches, and the Python worker pool are steady-state —
+    # the scaling criterion is about sustained throughput, not JVM cold start
+    from logagg import aggregate, enrich, parse, synth as _synth
+
+    cache = _synth.ensure_cache(sf_dir, expected=False)
+    tiny = spark.read.parquet(str(cache / "pages.parquet")).limit(2000)
+    hg, ll = enrich.load_lookups(spark, cache)
+    aggregate.sink_agg_hourly(enrich.enrich(parse.parsed_records(tiny), hg, ll)).agg(
+        F.sum("n_rows")
+    ).collect()
     agg = _pipeline(spark, sf_dir, replicate)
     cpu0 = _proc_tree_cpu_seconds()
     t0 = time.time()
@@ -93,7 +100,7 @@ def scaling_worker(master: str, sf_dir: str, replicate: int) -> None:
     )
 
 
-SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+SCALING_RUNS = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
 
 
 def _proc_tree_cpu_seconds() -> float:
@@ -180,7 +187,10 @@ def _one_worker(n: int, sf_dir: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-SCALING_CONFIGS = (1, 2, 4, 8, 16, 32)
+# 32 is intentionally absent: with ~0.2 s of fixed floor per 5 s of work and
+# tenant noise, the top rung carries no signal the 16-core rung lacks, and
+# each extra config is ~90 s of bench budget (3 fresh JVMs)
+SCALING_CONFIGS = (1, 2, 4, 8, 16)
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -210,7 +220,7 @@ def run_scaling(sf_dir: str) -> dict:
             "efficiency": round((rate[hi] / rate[lo]) / (hi / lo), 3),
         }
 
-    pairs = [_pair(lo, lo * 4) for lo in (1, 2, 4, 8)]
+    pairs = [_pair(lo, lo * 4) for lo in (1, 2, 4)]
     return {
         **_pair(1, 4),  # headline N→4N pair (longest runs → least floor/noise)
         "pairs": pairs,

@@ -123,7 +123,17 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if not isinstance(text, str) or not text:
             continue
         idx = -1
-        for row, src_text in _csv_rows(_extract_records(text), "\r" in text):
+        # fast path: with no quotechar anywhere, csv's only behavior is the
+        # delimiter split (quoting engages only on '"' at field start), and
+        # with no \r the newline round-trip is the identity — so plain
+        # str.split('|') is exactly csv-equivalent (fuzz-tested, both paths)
+        if '"' not in text and "\r" not in text:
+            rows_iter = (
+                (rec.split("|"), rec) for rec in _extract_records(text)
+            )
+        else:
+            rows_iter = _csv_rows(_extract_records(text), "\r" in text)
+        for row, src_text in rows_iter:
             idx += 1
             f = [row[i].strip() if i < len(row) else None for i in range(_N_FIELDS)]
             if f[_MSG_I] is None and f[_TYP_I] is None and f[_SRC_I] is not None:
