@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "events").select("event_type").distinct()
     )
     q["user_sessions"] = _user_sessions
+    q["purchases_asof_signup"] = _purchases_asof_signup
     q["events_pivot"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -241,6 +242,23 @@ def _tpch_q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+def _purchases_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (logagg.asof): for each purchase, the user's most recent
+    signup at-or-before it (point-in-time correctness — no future leakage)."""
+    from logagg.asof import asof_join
+
+    events = _tbl(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.unix_micros(F.col("ts").cast("timestamp")).alias("signup_us"))
+    )
+    out = asof_join(purchases, signups, key="user_id", ts="ts", value_cols=["signup_us"])
+    return out.select("event_id", "user_id", "signup_us")
 
 
 def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
@@ -411,6 +429,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value_cents DESC, user_id LIMIT 10"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "purchases_asof_signup": (
+            "SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s "
+            "ON e.user_id = s.user_id AND e.ts >= s.ts"
+        ),
         "events_pivot": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
             "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click, "
