@@ -212,6 +212,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["user_sessions"] = _user_sessions
     q["purchases_asof_signup"] = _purchases_asof_signup
+    # sketch aggregates (HLL / KLL): no exact oracle by construction —
+    # tolerance-tested vs exact in tests/test_approx.py, rows-only here
+    q["events_approx_stats"] = lambda spark, sf: (
+        _tbl(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+        )
+    )
     q["events_pivot"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))

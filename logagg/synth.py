@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 6
+GEN_VERSION = 7
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -106,7 +106,8 @@ def _stacktrace(rng: random.Random) -> list[str]:
     for _ in range(rng.randrange(3, 8)):
         pkg = SOURCES[rng.randrange(len(SOURCES))]
         fn = WORDS[rng.randrange(len(WORDS))]
-        lines.append(f"\tat {pkg}.{fn}(lock.java:{rng.randrange(1, 999)})")
+        jfile = WORDS[rng.randrange(len(WORDS))]
+        lines.append(f"\tat {pkg}.{fn}({jfile}.java:{rng.randrange(1, 999)})")
     if rng.random() < 0.5:
         lines.append(f"\t... {rng.randrange(1, 9)} more")
     return lines
@@ -126,8 +127,11 @@ def _page_text(rng: random.Random, lang: str) -> str:
         pad = PADS[rng.randrange(len(PADS))]
         jvm = f"jvm {rng.randrange(1, 5)}"
         ts = t.strftime("%Y/%m/%d %H:%M:%S")
-        if rng.random() < 0.02:  # malformed timestamp → row must be dropped
+        u_ts = rng.random()
+        if u_ts < 0.02:  # malformed timestamp → row must be dropped
             ts = ts[:8] + "x" + ts[9:]
+        elif u_ts < 0.03:  # non-padded form: strptime accepts, fast path defers
+            ts = f"{t.year}/{t.month}/{t.day} {t.hour}:{t.minute}:{t.second}"
         src = SOURCES[rng.randrange(len(SOURCES))]
         typ = TYPES[rng.randrange(len(TYPES))]
         msg = _message(rng, lang)
