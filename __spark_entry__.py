@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "embeddings")
     )
     q["ann_lsh"] = lambda spark, sf: similarity.ann_lsh(_tbl(spark, sf, "embeddings"))
+    q["ann_ivf"] = lambda spark, sf: similarity.ann_ivf(_tbl(spark, sf, "embeddings"))
 
     # ---- multimodal plumbing
     q["html_meta"] = lambda spark, sf: multimodal.html_meta(_pages(spark, sf))
@@ -263,12 +264,14 @@ def _purchases_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
+    # NTZ→string is session-TZ-independent (unix_micros of an NTZ cast is
+    # not — it would shift under a non-UTC driver session)
     signups = (
         events.filter(F.col("event_type") == "signup")
-        .select("user_id", "ts", F.unix_micros(F.col("ts").cast("timestamp")).alias("signup_us"))
+        .select("user_id", "ts", F.col("ts").cast("string").alias("signup_ts"))
     )
-    out = asof_join(purchases, signups, key="user_id", ts="ts", value_cols=["signup_us"])
-    return out.select("event_id", "user_id", "signup_us")
+    out = asof_join(purchases, signups, key="user_id", ts="ts", value_cols=["signup_ts"])
+    return out.select("event_id", "user_id", "signup_ts")
 
 
 def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
@@ -440,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "purchases_asof_signup": (
-            "SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us "
+            "SELECT e.event_id, e.user_id, CAST(s.ts AS VARCHAR) AS signup_ts "
             "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e "
             "ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s "
             "ON e.user_id = s.user_id AND e.ts >= s.ts"

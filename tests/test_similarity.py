@@ -27,3 +27,21 @@ def test_lsh_returns_valid_ranked_neighbors(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     assert all(r["qid"] != r["nid"] for r in rows)
+
+
+def test_ivf_recall_against_exact(spark):
+    from logagg import similarity
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.ann_bruteforce_numpy(_emb(spark)).collect()
+    }
+    ivf = {(r["qid"], r["nid"]) for r in similarity.ann_ivf(_emb(spark)).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall  # nprobe=4/16 cells on random vectors
+    # ranks must still be valid dense sequences per query
+    by_q = {}
+    for r in similarity.ann_ivf(_emb(spark)).collect():
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
