@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["route_counts"] = lambda spark, sf: route.route_counts(_parsed(spark, sf))
     q["sink_agg_hourly"] = lambda spark, sf: aggregate.sink_agg_hourly(_parsed(spark, sf))
     q["host_agg_salted"] = lambda spark, sf: aggregate.host_agg_salted(_parsed(spark, sf))
+    q["enrich_geo_salted_join"] = _enrich_geo_salted_join
 
     # ---- text analysis
     q["pages_langid"] = lambda spark, sf: (
@@ -255,6 +256,15 @@ def _tpch_q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _enrich_geo_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hand-salted skew-safe shuffle join (aggregate.salted_join) of the
+    Zipf-skewed fact against host_geo, then geo rollup — equals the plain
+    inner join exactly (proven by the shared oracle)."""
+    host_geo, _ = enrich.load_lookups(spark, _cache(sf))
+    joined = aggregate.salted_join(_parsed(spark, sf), host_geo, key="host")
+    return joined.groupBy("geo").agg(F.count("*").alias("n"))
+
+
 def _purchases_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (logagg.asof): for each purchase, the user's most recent
     signup at-or-before it (point-in-time correctness — no future leakage)."""
@@ -359,6 +369,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, lang, date_trunc('hour', warc_ts) AS bucket, "
             "count(*) AS n_rows, CAST(sum(length(message)) AS BIGINT) AS total_msg_chars "
             f"FROM {exp} GROUP BY 1, 2, 3"
+        ),
+        "enrich_geo_salted_join": (
+            f"SELECT geo, count(*) AS n FROM {exp} e JOIN {host_geo} g USING (host) "
+            "GROUP BY geo"
         ),
         "host_agg_salted": (
             "SELECT host, count(*) AS n_rows, "

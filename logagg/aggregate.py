@@ -42,6 +42,30 @@ def sink_agg_hourly(parsed: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Explicit skew-safe equi-join: replicate the dim side ``buckets``×
+    with a salt column, salt the fact side deterministically, join on
+    (key, salt). Each hot fact key spreads over ``buckets`` reducers
+    instead of landing on one. Inner-join semantics equal the unsalted
+    join exactly (dim assumed unique per key). AQE's skew-join split is
+    the automatic variant; this is the hand-rolled one for engines/plans
+    where AQE can't see the skew (e.g. pre-partitioned bucketed tables).
+    """
+    from pyspark.sql import functions as F
+
+    salt_values = F.array(*[F.lit(i) for i in range(buckets)])
+    dim_rep = dim.withColumn("_salt", F.explode(salt_values))
+    fact_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(buckets)).cast("int")
+    )
+    return fact_salted.join(dim_rep, [key, "_salt"], "inner").drop("_salt")
+
+
 def host_agg_salted(parsed: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Two-phase salted aggregate over the skewed ``host`` key.
 

@@ -56,3 +56,21 @@ def test_exact_dupes_finds_injected_copies(spark, pages_cache):
     groups = dedup.exact_dupes(pages, id_col="url", text_col="text").collect()
     assert sum(r["n"] for r in groups) == pages.count()
     assert any(r["n"] >= 2 for r in groups)  # synth injects exact copies
+
+
+def test_salted_join_equals_plain_join(spark, pages_cache):
+    from logagg import enrich as en
+
+    host_geo, _ = en.load_lookups(spark, pages_cache)
+    parsed = _parsed(spark, pages_cache).cache()
+    plain = (
+        parsed.join(host_geo, "host", "inner").groupBy("geo").count().collect()
+    )
+    salted = (
+        aggregate.salted_join(parsed, host_geo, key="host")
+        .groupBy("geo")
+        .count()
+        .collect()
+    )
+    as_map = lambda rows: {r["geo"]: r["count"] for r in rows}  # noqa: E731
+    assert as_map(plain) == as_map(salted)

@@ -61,3 +61,26 @@ def test_pipeline_resume_reruns_invalidated_stage(spark, tmp_path):
     assert parse_before == parse_after  # parse stage skipped
     assert (out / "_meta" / "route.json").exists()  # route re-ran
     assert results["route"]["rows"] == results["parse"]["rows"]
+
+
+def test_pipeline_heals_partial_sink(spark, tmp_path):
+    """Crash mid-write model: sink data exists but its marker was never
+    committed → the stage reruns and the overwrite-mode write replaces the
+    partial output (no double-append)."""
+    import shutil
+
+    out = tmp_path / "out"
+    first = run_pipeline(spark, SF_SMOKE, str(out))
+    # simulate: route stage wrote half its files, then the job died before
+    # the marker landed
+    (out / "_meta" / "route.json").unlink()
+    (out / "_meta" / "aggregate.json").unlink()
+    routed = out / "routed"
+    victims = [p for p in routed.rglob("*.parquet")][:5]
+    for v in victims:
+        v.unlink()
+    second = run_pipeline(spark, SF_SMOKE, str(out))
+    assert second["route"]["rows"] == first["route"]["rows"]
+    assert second["route"]["sinks"] == first["route"]["sinks"]
+    n = spark.read.parquet(str(routed)).count()
+    assert n == first["route"]["rows"]
