@@ -67,8 +67,6 @@ def test_pipeline_heals_partial_sink(spark, tmp_path):
     """Crash mid-write model: sink data exists but its marker was never
     committed → the stage reruns and the overwrite-mode write replaces the
     partial output (no double-append)."""
-    import shutil
-
     out = tmp_path / "out"
     first = run_pipeline(spark, SF_SMOKE, str(out))
     # simulate: route stage wrote half its files, then the job died before
