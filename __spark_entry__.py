@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sink_agg_hourly"] = lambda spark, sf: aggregate.sink_agg_hourly(_parsed(spark, sf))
     q["host_agg_salted"] = lambda spark, sf: aggregate.host_agg_salted(_parsed(spark, sf))
     q["enrich_geo_salted_join"] = _enrich_geo_salted_join
+    q["top_hosts_per_geo"] = _top_hosts_per_geo
 
     # ---- text analysis
     q["pages_langid"] = lambda spark, sf: (
@@ -265,6 +266,23 @@ def _enrich_geo_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("geo").agg(F.count("*").alias("n"))
 
 
+def _top_hosts_per_geo(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 hosts by record count within each geo — window top-k over the
+    enriched fact (rank ties broken by host for determinism)."""
+    counts = (
+        _enriched(spark, sf)
+        .filter(F.col("geo").isNotNull())
+        .groupBy("geo", "host")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("geo").orderBy(F.col("n").desc(), "host")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("geo", "host", "n", "rank")
+    )
+
+
 def _purchases_asof_signup(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (logagg.asof): for each purchase, the user's most recent
     signup at-or-before it (point-in-time correctness — no future leakage)."""
@@ -369,6 +387,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, lang, date_trunc('hour', warc_ts) AS bucket, "
             "count(*) AS n_rows, CAST(sum(length(message)) AS BIGINT) AS total_msg_chars "
             f"FROM {exp} GROUP BY 1, 2, 3"
+        ),
+        "top_hosts_per_geo": (
+            "SELECT geo, host, n, rank FROM ("
+            "SELECT geo, host, count(*) AS n, "
+            "row_number() OVER (PARTITION BY geo ORDER BY count(*) DESC, host) AS rank "
+            f"FROM {exp} e JOIN {host_geo} g USING (host) "
+            "GROUP BY geo, host) WHERE rank <= 3"
         ),
         "enrich_geo_salted_join": (
             f"SELECT geo, count(*) AS n FROM {exp} e JOIN {host_geo} g USING (host) "
