@@ -216,13 +216,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["user_sessions"] = _user_sessions
     q["purchases_asof_signup"] = _purchases_asof_signup
     # sketch aggregates (HLL / KLL): no exact oracle by construction —
-    # tolerance-tested vs exact in tests/test_approx.py, rows-only here
+    # tolerance-tested vs exact in tests/test_approx.py, rows-only here.
+    # Quantiles come out as scalar columns (element_at over the sketch
+    # result): the driver canonicalization hashes cell values and cannot
+    # sort/factorize an array column.
     q["events_approx_stats"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("_q"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.element_at("_q", 1), 6).alias("q50"),
+            F.round(F.element_at("_q", 2), 6).alias("q95"),
+            F.round(F.element_at("_q", 3), 6).alias("q99"),
         )
     )
     q["events_pivot"] = lambda spark, sf: (
@@ -342,13 +352,16 @@ def oracle_sql() -> dict[str, str]:
     host_geo = f"read_parquet('{c}/host_geo.parquet')"
     lang_locale = f"read_parquet('{c}/lang_locale.parquet')"
     parsed_cols = ", ".join(f'"{col}"' for col in PARSED_COLS)
+    # token contract: explicit ASCII-whitespace class (textstats.tokens_col)
+    # — RE2's \s lacks \x0b, so the class is spelled out for DuckDB
+    ws = "'[ \\t\\n\\x0b\\f\\r]+'"
     quality = (
-        "CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 "
+        f"CASE WHEN len(list_filter(string_split_regex(text, {ws}), t -> t <> '')) = 0 "
         "THEN 0.0 ELSE "
         "0.5 * least(CAST(n_chars AS DOUBLE), 400.0) / 400.0 + "
-        "0.5 * (len(list_filter(string_split_regex(text, '\\s+'), "
+        f"0.5 * (len(list_filter(string_split_regex(text, {ws}), "
         "t -> t IN ('the', 'a', 'and', 'of'))) "
-        "/ CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE)) END"
+        f"/ CAST(len(list_filter(string_split_regex(text, {ws}), t -> t <> '')) AS DOUBLE)) END"
     )
     render_line = (
         "'| ' || url || '#' || CAST(record_idx AS VARCHAR) || chr(9) || "
@@ -408,7 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": f"SELECT doc_id, fp FROM read_parquet('{c}/expected_doc_fp.parquet')",
         "doc_token_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
-            "CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) "
+            f"CAST(sum(len(list_filter(string_split_regex(text, {ws}), t -> t <> ''))) AS BIGINT) "
             "AS total_tokens FROM documents GROUP BY lang"
         ),
         "doc_quality_by_source": (
@@ -421,6 +434,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_shingle_pairs": (
             f"SELECT url_a, url_b, shared, na, nb FROM read_parquet('{c}/expected_dupes.parquet')"
+        ),
+        # probabilistic operators: expected tables from the independent
+        # pure-Python twins in logagg.refsketch (differential oracle — same
+        # seeds/spec, independent computation)
+        "dedup_minhash_lsh": (
+            f"SELECT url_a, url_b, shared, na, nb FROM read_parquet('{c}/expected_minhash.parquet')"
+        ),
+        "dedup_simhash": (
+            f"SELECT url_a, url_b, hamming FROM read_parquet('{c}/expected_simhash.parquet')"
+        ),
+        "ann_lsh": f"SELECT qid, nid, rank FROM read_parquet('{c}/expected_ann_lsh.parquet')",
+        "ann_ivf": f"SELECT qid, nid, rank FROM read_parquet('{c}/expected_ann_ivf.parquet')",
+        "media_decode_stub": (
+            "SELECT url, media_kind, byte_len, magic, width, height, feature0, feature1 "
+            f"FROM read_parquet('{c}/expected_media.parquet')"
         ),
         "dedup_embedding_cosine": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
@@ -502,8 +530,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
             "AS prev_us FROM events) GROUP BY user_id"
         ),
-        # no oracle (probabilistic / stub kernels — driver records rows-only):
-        # dedup_minhash_lsh, ann_lsh, media_decode_stub
+        # no oracle (sketch aggregates have no exact cross-engine value):
+        # events_approx_stats — tolerance-tested in tests/test_approx.py
     }
 
 

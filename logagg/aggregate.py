@@ -60,8 +60,11 @@ def salted_join(
 
     salt_values = F.array(*[F.lit(i) for i in range(buckets)])
     dim_rep = dim.withColumn("_salt", F.explode(salt_values))
+    # salt from a per-row ordinal, not a hash of every fact column — hashing
+    # wide string payloads (message/extracted_text) costs real per-row CPU
+    # and buys no better spread than a round-robin ordinal
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(buckets)).cast("int")
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
     )
     return fact_salted.join(dim_rep, [key, "_salt"], "inner").drop("_salt")
 

@@ -34,9 +34,16 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the matched right ROW as one struct, then project its fields:
+    # last(ignorenulls) over a per-column carry would skip a matched row
+    # whose value is genuinely NULL and leak an older non-null value —
+    # the struct is non-null for every right row, so NULL values from the
+    # as-of-matched row are preserved (DuckDB/kdb ASOF semantics).
+    carry = F.last(
+        F.when(F.col("_is_left") == 0, F.struct(*[F.col(c) for c in value_cols])),
+        ignorenulls=True,
+    ).over(w)
+    u = u.withColumn("_carry", carry)
     for c in value_cols:
-        u = u.withColumn(
-            c,
-            F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w),
-        )
-    return u.filter(F.col("_is_left") == 1).drop("_is_left")
+        u = u.withColumn(c, F.col("_carry").getField(c))
+    return u.filter(F.col("_is_left") == 1).drop("_is_left", "_carry")

@@ -4,14 +4,23 @@ near-dup, pigeonhole-exact banding), and embedding-cosine near-dup.
 
 Design for 100 TB:
 * exact dedup — one hash-agg on md5(text); Catalyst partial+final.
-* exact near-dup — explode K-token shingles, apply the DF_MAX stop-shingle
-  cut (schemas.DEDUP_DF_MAX: template shingles shared by thousands of docs
-  carry no signal and make the pair join quadratic), equi-join on shingle
-  (fan-out bounded by DF_MAX), count shared shingles per pair, integer
-  Jaccard threshold. Every step is a plain shuffle-bounded DataFrame op.
-* MinHash-LSH — 64 permutations banded 16×4; candidate pairs from band-
-  bucket equality, then exact verification. Probabilistic recall; this is
-  the variant that survives corpora where even the DF-cut leaves hot keys.
+* exact near-dup — explode K-token shingles, apply the scale-aware
+  stop-shingle cut (schemas.df_max_for: template shingles shared by
+  thousands of docs carry no signal and make the pair join quadratic),
+  equi-join on shingle (fan-out bounded by the cut), count shared shingles
+  per pair, integer Jaccard threshold. Every step is a plain
+  shuffle-bounded DataFrame op.
+* MinHash-LSH — 64 permutations banded 16×4; the stop-shingle set comes
+  from a deterministic 1-in-8 document sample (one small aggregation, not
+  a full-corpus shingle table); candidate pairs from band-bucket equality;
+  verification recomputes shingle sets for CANDIDATE docs only (tens of
+  thousands) instead of joining a full exploded shingle table (millions).
+  Probabilistic recall; this is the variant that survives corpora where
+  even the DF-cut leaves hot keys.
+
+Cache lifecycle: every persisted intermediate is released before the
+operator returns — final results are bounded by design (pair lists) and are
+materialized locally (util.materialize_local) to cut lineage first.
 """
 
 from __future__ import annotations
@@ -25,12 +34,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logagg.schemas import (
-    DEDUP_DF_MAX,
     JACCARD_DEN,
     JACCARD_NUM,
-    SHINGLE_K,
-    SHINGLE_SEP,
+    MINHASH_LSH_BANDS,
+    MINHASH_LSH_ROWS,
+    MINHASH_MERSENNE,
+    MINHASH_PERMS,
+    MINHASH_SEED,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    STOP_SAMPLE_MOD,
+    df_max_for,
 )
+from logagg.util import materialize_local
 
 # ---------------------------------------------------------------- exact
 
@@ -46,121 +63,150 @@ def exact_dupes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ------------------------------------------------- exact shingle-Jaccard
 
 
-def _shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from logagg import textfns
+def _shingle_batches_fn(stop: frozenset = frozenset()):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logagg import textfns
 
-    for pdf in batches:
-        ids: list = []
-        shs: list = []
-        for did, text in zip(pdf["id"], pdf["text"]):
-            if not isinstance(text, str):
-                continue
-            ss = textfns.shingle_set(text)
-            ss.discard("")
-            ids.extend([did] * len(ss))
-            shs.extend(ss)
-        yield pd.DataFrame(
-            {"id": pd.Series(ids, dtype=object), "shingle": pd.Series(shs, dtype=object)}
-        )
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                ss = textfns.shingle_set(text)
+                ss.discard("")
+                if stop:
+                    ss -= stop
+                ids.extend([did] * len(ss))
+                shs.extend(ss)
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype=object), "shingle": pd.Series(shs, dtype=object)}
+            )
+
+    return run
 
 
-def shingles(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", stop: frozenset = frozenset()
+) -> DataFrame:
     """(id, shingle) pairs — distinct K-token shingles per doc; short docs
-    collapse to one whole-doc shingle (textfns.shingle_set semantics).
+    collapse to one whole-doc shingle (textfns.shingle_set semantics); an
+    optional stop-set is dropped inside the same pass.
 
     Arrow-batched Python, not a Catalyst higher-order expression: measured
     2.7× faster (6 s vs 17 s for 7.5M shingles at sf0.1) — per-element
     string building in transform/slice/array_join generates far more JVM
     garbage than one CPython pass over the tokens."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(_shingle_batches, schema="id string, shingle string")
+    return src.mapInPandas(_shingle_batches_fn(stop), schema="id string, shingle string")
 
 
-def stop_shingles(sh: DataFrame) -> DataFrame:
-    """Shingles with document frequency > DEDUP_DF_MAX (template lines like
-    'INFO | jvm 1 |' shared by thousands of pages — no dedup signal)."""
-    return (
-        sh.groupBy("shingle")
+def _doc_count(df: DataFrame, n_docs: int | None) -> int:
+    # parquet-metadata count when the plan is a plain scan — cheap either way
+    return df.count() if n_docs is None else n_docs
+
+
+def sampled_stop_shingles(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> frozenset:
+    """Stop-shingle set estimated from a deterministic 1-in-STOP_SAMPLE_MOD
+    document sample (crc32(id) — same rule in the pure-Python twin). One
+    aggregation over ~12% of the corpus instead of a full shingle table;
+    the result is tiny (template shingles) and ships into UDF closures."""
+    df_max = df_max_for(_doc_count(df, n_docs))
+    sample = df.filter(F.pmod(F.crc32(F.col(id_col).cast("binary")), F.lit(STOP_SAMPLE_MOD)) == 0)
+    rows = (
+        shingles(sample, id_col, text_col)
+        .groupBy("shingle")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > DEDUP_DF_MAX)
+        .filter(F.col("_df") * STOP_SAMPLE_MOD > df_max)
         .select("shingle")
+        .collect()
     )
+    return frozenset(r["shingle"] for r in rows)
 
 
-def jaccard_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """Exact near-duplicate pairs with J >= 0.8 after the DF_MAX cut.
+def jaccard_pairs(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", n_docs: int | None = None
+) -> DataFrame:
+    """Exact near-duplicate pairs with J >= 0.8 after the df_max_for cut.
 
     Integer-exact output (shared / set sizes) so the result is engine-
     portable with no float tolerance.
     """
+    df_max = df_max_for(_doc_count(df, n_docs))
     sh = shingles(df, id_col, text_col)
 
     # One aggregation produces both the document-frequency cut and the
-    # postings list: collect ids per shingle, keep lists of size 2..DF_MAX
-    # (df=1 shingles pair with nothing; df>DF_MAX are stop-shingles).
+    # postings list: collect ids per shingle, keep lists of size 2..df_max
+    # (df=1 shingles pair with nothing; df>df_max are stop-shingles).
     # Persisted because sizes and pairs both consume it — without this the
-    # whole explode+shuffle subtree runs twice.
+    # whole explode+shuffle subtree runs twice; released before return.
     postings = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") <= DEDUP_DF_MAX)
+        .filter(F.size("ids") <= df_max)
         .persist()
     )
-
-    sizes = (
-        postings.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("set_size"))
-    )
-
-    # pairwise combinations per postings list, JVM-side: ids are sorted, so
-    # (ids[i], y in ids[i+1:]) enumerates each unordered pair once with
-    # url_a < url_b. Replaces a full self-join shuffle of the exploded
-    # (id, shingle) table with one explode over DF_MAX-bounded lists.
-    ids = F.col("ids")
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
-            ),
+    try:
+        sizes = (
+            postings.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("set_size"))
         )
-    )
-    shared = (
-        postings.filter(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.url_a").alias("url_a"), F.col("p.url_b").alias("url_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
-    sb = sizes.select(F.col("id").alias("url_b"), F.col("set_size").alias("nb"))
-    return (
-        shared.join(sa, "url_a")
-        .join(sb, "url_b")
-        .filter(
-            F.lit(JACCARD_NUM) * F.col("shared")
-            >= F.lit(JACCARD_DEN) * (F.col("na") + F.col("nb"))
+
+        # pairwise combinations per postings list, JVM-side: ids are sorted,
+        # so (ids[i], y in ids[i+1:]) enumerates each unordered pair once with
+        # url_a < url_b. Replaces a full self-join shuffle of the exploded
+        # (id, shingle) table with one explode over df_max-bounded lists.
+        ids = F.col("ids")
+        combos = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
+                ),
+            )
         )
-        .select("url_a", "url_b", "shared", "na", "nb")
-    )
+        shared = (
+            postings.filter(F.size("ids") >= 2)
+            .select(F.explode(combos).alias("p"))
+            .groupBy(F.col("p.url_a").alias("url_a"), F.col("p.url_b").alias("url_b"))
+            .agg(F.count("*").alias("shared"))
+        )
+        sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
+        sb = sizes.select(F.col("id").alias("url_b"), F.col("set_size").alias("nb"))
+        result = (
+            shared.join(sa, "url_a")
+            .join(sb, "url_b")
+            .filter(
+                F.lit(JACCARD_NUM) * F.col("shared")
+                >= F.lit(JACCARD_DEN) * (F.col("na") + F.col("nb"))
+            )
+            .select("url_a", "url_b", "shared", "na", "nb")
+        )
+        return materialize_local(result)
+    finally:
+        postings.unpersist()
 
 
 # --------------------------------------------------------------- SimHash
-
-SIMHASH_BITS = 64
-SIMHASH_MAX_HAMMING = 3
-_SIM_BANDS = 4  # pigeonhole: dist<=3 → at least one of 4 16-bit bands equal
 
 
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import zlib
 
+    from logagg import textfns
+
     weights = (1 << np.arange(SIMHASH_BITS, dtype=np.uint64)).astype(np.uint64)
     for pdf in batches:
         ids, sims = [], []
         for did, text in zip(pdf["id"], pdf["text"]):
-            toks = text.split() if isinstance(text, str) else []
+            toks = textfns.tokens(text) if isinstance(text, str) else []
             if not toks:
                 continue
             h = np.fromiter(
@@ -189,33 +235,36 @@ def simhash_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text") ->
     leave at least one band identical — so this finds ALL qualifying pairs
     with bucket-bounded join fan-out (no |corpus|² scan).
     """
-    sh = simhash(df, id_col, text_col).persist()
-    bands = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                )
-                for i in range(_SIM_BANDS)
-            ])
-        ).alias("b"),
-    ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("url_a"),
-            F.col("b.id").alias("url_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    sh = simhash(df, id_col, text_col).persist()  # self-joined below
+    try:
+        bands = sh.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ])
+            ).alias("b"),
+        ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("url_a"),
+                F.col("b.id").alias("url_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .distinct()
         )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
-    )
-    return pairs
+        return materialize_local(pairs)
+    finally:
+        sh.unpersist()
 
 
 # ------------------------------------------- embedding-cosine near-dup
@@ -250,16 +299,11 @@ def embedding_dupes(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 # ----------------------------------------------------------- MinHash-LSH
 
-MINHASH_PERMS = 64
-LSH_BANDS = 16
-LSH_ROWS = MINHASH_PERMS // LSH_BANDS
-_MERSENNE = (1 << 61) - 1
-
 
 def _perm_params(n: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
     # a,b < 2^30 and crc32 < 2^32 keep a*x+b < 2^62: no int64 overflow, so
     # the whole signature computes as one vectorized numpy expression.
-    rng = np.random.default_rng(0x5EED)
+    rng = np.random.default_rng(MINHASH_SEED)
     a = rng.integers(1, 1 << 30, size=n, dtype=np.int64)
     b = rng.integers(0, 1 << 30, size=n, dtype=np.int64)
     return a, b
@@ -298,9 +342,9 @@ def _band_batches_fn(stop: frozenset):
                     dtype=np.int64,
                     count=len(sh_set),
                 )
-                sig = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
-                for band in range(LSH_BANDS):
-                    chunk = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
+                sig = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_MERSENNE).min(axis=1)
+                for band in range(MINHASH_LSH_BANDS):
+                    chunk = sig[band * MINHASH_LSH_ROWS : (band + 1) * MINHASH_LSH_ROWS]
                     ids.append(did)
                     bands.append(band)
                     keys.append(",".join(str(int(v)) for v in chunk))
@@ -321,65 +365,80 @@ def minhash_candidates(
     text_col: str = "text",
     stop: frozenset = frozenset(),
 ) -> DataFrame:
-    """LSH candidate pairs: equal (band, minhash-band-key) → same bucket."""
+    """LSH candidate pairs: equal (band, minhash-band-key) → same bucket.
+
+    The band table is persisted only for the duration of the self-join; the
+    (small) candidate list is materialized locally so the cache is released
+    before this returns."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     bands = src.mapInPandas(
         _band_batches_fn(stop), schema="id string, band int, key string"
-    ).persist()  # self-joined below: without persist the minhash UDF runs twice
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"))
-        .distinct()
-    )
+    ).persist()  # self-joined: without persist the minhash UDF runs twice
+    try:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cands = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"))
+            .distinct()
+        )
+        return materialize_local(cands)
+    finally:
+        bands.unpersist()
 
 
-def minhash_lsh_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+def minhash_lsh_dupes(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", n_docs: int | None = None
+) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified with exact Jaccard.
 
     Join fan-in is |candidates|, not |corpus|² — survives hot templates that
     defeat the exact pair join. Recall < 1 by construction (banding curve);
     precision = 1 because candidates are exactly verified.
+
+    Cost shape (the 100 TB story): one small aggregation over a 1-in-8
+    document sample (stop-set), one Arrow pass over the corpus (minhash
+    bands), a bucket-bounded self-join, then shingle recomputation for
+    candidate docs ONLY — the full corpus shingle table is never built.
     """
-    # the stop-shingle set comes from one aggregation over the corpus
-    # shingles (at production scale: over a sample) and is tiny — collect
-    # and ship it into the minhash UDF closure
-    sh_all = shingles(df, id_col, text_col).persist()
-    stop = frozenset(r["shingle"] for r in stop_shingles(sh_all).collect())
-    cands = minhash_candidates(df, id_col, text_col, stop=stop).persist()
-    # exact verification only touches docs that appear in some candidate
-    # pair — semi-join the shingle table down, and drop stop-shingles so
-    # verification Jaccard matches the effective-set semantics
+    n = _doc_count(df, n_docs)
+    stop = sampled_stop_shingles(df, id_col, text_col, n_docs=n)
+    cands = minhash_candidates(df, id_col, text_col, stop=stop)  # local, small
+
+    # exact verification recomputes (stop-filtered) shingle sets for docs
+    # that appear in some candidate pair — a semi-join cuts the corpus to
+    # tens of thousands of rows before the shingle UDF runs
     cand_ids = (
         cands.select(F.col("url_a").alias("cid"))
         .union(cands.select(F.col("url_b").alias("cid")))
         .distinct()
     )
-    stop_df = stop_shingles(sh_all)
-    sh = (
-        sh_all.join(cand_ids, sh_all["id"] == F.col("cid"), "left_semi")
-        .join(F.broadcast(stop_df), "shingle", "left_anti")
-        .persist()
+    cand_docs = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a_sh = sh.select(F.col("id").alias("url_a"), "shingle")
-    b_sh = sh.select(F.col("id").alias("url_b"), "shingle")
-    shared = (
-        cands.join(a_sh, "url_a")
-        .join(b_sh, ["url_b", "shingle"])
-        .groupBy("url_a", "url_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
-    sb = sizes.select(F.col("id").alias("url_b"), F.col("set_size").alias("nb"))
-    return (
-        shared.join(sa, "url_a")
-        .join(sb, "url_b")
-        .filter(
-            F.lit(JACCARD_NUM) * F.col("shared")
-            >= F.lit(JACCARD_DEN) * (F.col("na") + F.col("nb"))
+    sh = shingles(cand_docs, id_col, text_col, stop=stop).persist()
+    try:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+        a_sh = sh.select(F.col("id").alias("url_a"), "shingle")
+        b_sh = sh.select(F.col("id").alias("url_b"), "shingle")
+        shared = (
+            cands.join(a_sh, "url_a")
+            .join(b_sh, ["url_b", "shingle"])
+            .groupBy("url_a", "url_b")
+            .agg(F.count("*").alias("shared"))
         )
-        .select("url_a", "url_b", "shared", "na", "nb")
-    )
+        sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
+        sb = sizes.select(F.col("id").alias("url_b"), F.col("set_size").alias("nb"))
+        result = (
+            shared.join(sa, "url_a")
+            .join(sb, "url_b")
+            .filter(
+                F.lit(JACCARD_NUM) * F.col("shared")
+                >= F.lit(JACCARD_DEN) * (F.col("na") + F.col("nb"))
+            )
+            .select("url_a", "url_b", "shared", "na", "nb")
+        )
+        return materialize_local(result)
+    finally:
+        sh.unpersist()

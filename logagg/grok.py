@@ -96,7 +96,12 @@ def grok_extract_vectorized(df: DataFrame, col: str, pattern: GrokPattern) -> Da
         for pdf in batches:
             extracted = pdf[col].astype("string").str.extract(pat, expand=True)
             extracted.columns = fields
-            # match regexp_extract's contract: "" (not null) on no-match
-            yield pd.concat([pdf, extracted.fillna("")], axis=1)
+            # match regexp_extract's contract exactly: "" (not null) on
+            # no-match, but NULL (not "") when the input itself is NULL
+            filled = extracted.fillna("")
+            null_in = pdf[col].isna().to_numpy()
+            if null_in.any():
+                filled.loc[null_in, :] = None
+            yield pd.concat([pdf, filled], axis=1)
 
     return df.mapInPandas(run, schema=schema)

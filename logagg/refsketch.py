@@ -1,0 +1,289 @@
+"""Pure-Python twins of the probabilistic / sketch operators — independent
+reimplementations used ONLY to materialize expected tables for the DuckDB
+differential oracle (logagg.synth), mirroring how logagg.refparse oracles
+the parse stage.
+
+Everything here is deterministic: seeds, permutation parameters, banding
+layouts and sampling rules are part of each operator's SPEC (shared via
+logagg.schemas), while the computation is written independently of the
+Spark operators (no DataFrames, no Arrow batching).
+
+Float-sensitive twins (ANN) reproduce Catalyst's evaluation order exactly:
+cosine similarity is a sequential left-to-right fold in float64, which is
+bit-identical to `F.aggregate(F.zip_with(...))` on the same inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+from collections import defaultdict
+
+import numpy as np
+
+from logagg import textfns
+from logagg.schemas import (
+    JACCARD_DEN,
+    JACCARD_NUM,
+    MINHASH_LSH_BANDS,
+    MINHASH_LSH_ROWS,
+    MINHASH_MERSENNE,
+    MINHASH_PERMS,
+    MINHASH_SEED,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    STOP_SAMPLE_MOD,
+    df_max_for,
+)
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash64(text: str) -> int | None:
+    """64-bit SimHash (token-set sign-vote) — plain-int reimplementation of
+    the Arrow kernel in logagg.dedup._simhash_batches."""
+    toks = textfns.tokens(text) if isinstance(text, str) else []
+    if not toks:
+        return None
+    votes = [0] * SIMHASH_BITS
+    for t in set(toks):
+        h = zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
+        for b in range(SIMHASH_BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(SIMHASH_BITS):
+        if votes[b] > 0:
+            out |= 1 << b
+    # Spark stores the uint64 as int64 (two's complement)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def expected_simhash_pairs(urls: list[str], texts: list[str]) -> dict[str, list]:
+    """All pairs with Hamming(simhash) <= 3, found via the same 4×16-bit
+    pigeonhole banding the Spark operator uses (exact, not probabilistic)."""
+    sims: dict[int, int] = {}
+    for i, t in enumerate(texts):
+        s = simhash64(t)
+        if s is not None:
+            sims[i] = s
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, s in sims.items():
+        u = s & ((1 << 64) - 1)
+        for band in range(SIMHASH_BANDS):
+            buckets[(band, (u >> (16 * band)) & 0xFFFF)].append(i)
+    seen: set[tuple[str, str]] = set()
+    rows: dict[str, list] = {"url_a": [], "url_b": [], "hamming": []}
+    for ids in buckets.values():
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                i, j = ids[ai], ids[bi]
+                ua, ub = (urls[i], urls[j]) if urls[i] < urls[j] else (urls[j], urls[i])
+                if ua == ub or (ua, ub) in seen:
+                    continue
+                d = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+                if d <= SIMHASH_MAX_HAMMING:
+                    seen.add((ua, ub))
+                    rows["url_a"].append(ua)
+                    rows["url_b"].append(ub)
+                    rows["hamming"].append(d)
+    return rows
+
+
+# --------------------------------------------------------- MinHash-LSH
+
+
+def _perms() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(MINHASH_SEED)
+    a = rng.integers(1, 1 << 30, size=MINHASH_PERMS, dtype=np.int64)
+    b = rng.integers(0, 1 << 30, size=MINHASH_PERMS, dtype=np.int64)
+    return a, b
+
+
+def sampled_stop_set(urls: list[str], texts: list[str]) -> frozenset:
+    """The deterministic 1-in-STOP_SAMPLE_MOD sample stop-set rule
+    (crc32(url) keyed), identical to dedup.sampled_stop_shingles."""
+    df_max = df_max_for(len(urls))
+    counts: dict[str, int] = defaultdict(int)
+    for u, t in zip(urls, texts):
+        if zlib.crc32(u.encode()) % STOP_SAMPLE_MOD != 0:
+            continue
+        s = textfns.shingle_set(t) if isinstance(t, str) else set()
+        s.discard("")
+        for sh in s:
+            counts[sh] += 1
+    return frozenset(sh for sh, c in counts.items() if c * STOP_SAMPLE_MOD > df_max)
+
+
+def expected_minhash_pairs(urls: list[str], texts: list[str]) -> dict[str, list]:
+    """LSH candidates (64 perms, 16×4 bands) + exact Jaccard verification —
+    the expected output of dedup.minhash_lsh_dupes."""
+    stop = sampled_stop_set(urls, texts)
+    a, b = _perms()
+    eff: list[set] = []
+    buckets: dict[tuple[int, tuple], list[int]] = defaultdict(list)
+    for i, t in enumerate(texts):
+        s = textfns.shingle_set(t) if isinstance(t, str) else set()
+        s.discard("")
+        s -= stop
+        eff.append(s)
+        if not s:
+            continue
+        x = np.fromiter((zlib.crc32(sh.encode("utf-8")) for sh in s), dtype=np.int64, count=len(s))
+        sig = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_MERSENNE).min(axis=1)
+        for band in range(MINHASH_LSH_BANDS):
+            key = tuple(int(v) for v in sig[band * MINHASH_LSH_ROWS : (band + 1) * MINHASH_LSH_ROWS])
+            buckets[(band, key)].append(i)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                i, j = ids[ai], ids[bi]
+                if urls[i] > urls[j]:
+                    i, j = j, i
+                if urls[i] < urls[j]:
+                    cands.add((i, j))
+    rows: dict[str, list] = {"url_a": [], "url_b": [], "shared": [], "na": [], "nb": []}
+    for i, j in cands:
+        shared = len(eff[i] & eff[j])
+        na, nb = len(eff[i]), len(eff[j])
+        if JACCARD_NUM * shared >= JACCARD_DEN * (na + nb):
+            rows["url_a"].append(urls[i])
+            rows["url_b"].append(urls[j])
+            rows["shared"].append(shared)
+            rows["na"].append(na)
+            rows["nb"].append(nb)
+    return rows
+
+
+# ------------------------------------------------------------ ANN twins
+
+
+def _cos_catalyst(a: list[float], b: list[float]) -> float:
+    """Cosine exactly as Catalyst evaluates logagg.similarity._cosine:
+    three sequential left-to-right float64 folds, then dot/(sqrt·sqrt)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _topk(scored: list[tuple[float, int]], k: int) -> list[tuple[int, int]]:
+    """(sim desc, nid asc) row_number top-k → [(nid, rank)]."""
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    return [(nid, r + 1) for r, (_, nid) in enumerate(scored[:k])]
+
+
+def expected_ann_lsh(
+    vec_ids: list[int], emb32: np.ndarray, n_queries: int = 8, k: int = 5, planes_seed: int = 0xA11CE, n_planes: int = 5
+) -> dict[str, list]:
+    """Expected output of similarity.ann_lsh: hyperplane bucketing (numpy,
+    same ops as the Arrow kernel) + exact re-rank within the query bucket
+    (Catalyst-order cosine)."""
+    rng = np.random.default_rng(planes_seed)
+    planes = rng.standard_normal((n_planes, emb32.shape[1]))
+    mat = emb32.astype(np.float64)
+    bits = (mat @ planes.T) > 0
+    codes = (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    rows: dict[str, list] = {"qid": [], "nid": [], "rank": []}
+    emb_lists = [[float(x) for x in mat[i]] for i in range(len(ids))]
+    for qi in np.flatnonzero(ids < n_queries):
+        scored = []
+        for ci in np.flatnonzero(codes == codes[qi]):
+            if ids[ci] == ids[qi]:
+                continue
+            scored.append((_cos_catalyst(emb_lists[qi], emb_lists[ci]), int(ids[ci])))
+        for nid, rank in _topk(scored, k):
+            rows["qid"].append(int(ids[qi]))
+            rows["nid"].append(nid)
+            rows["rank"].append(rank)
+    return rows
+
+
+def expected_ann_ivf(
+    vec_ids: list[int],
+    emb32: np.ndarray,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> dict[str, list]:
+    """Expected output of similarity.ann_ivf. The coarse quantizer (k-means
+    centroids) is a MODEL PARAMETER shared with the operator — both train
+    via similarity._kmeans_lite on the deterministic vec_id<4096 sample —
+    while assignment, probing and re-ranking are recomputed here
+    independently (same numpy expressions ⇒ same floats on one machine)."""
+    from logagg.similarity import _kmeans_lite
+
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    mat = emb32.astype(np.float64)
+    sample = mat[order[ids[order] < 4096]]
+    cents = _kmeans_lite(sample, n_centroids)
+    centsn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cell = (matn @ centsn.T).argmax(axis=1)
+
+    q_mask = ids < n_queries
+    qn = matn[q_mask]
+    q_ids = ids[q_mask]
+    probe = np.argsort(-(qn @ centsn.T), axis=1)[:, :nprobe]
+    emb_lists = [[float(x) for x in mat[i]] for i in range(len(ids))]
+    q_rows = np.flatnonzero(q_mask)
+    rows: dict[str, list] = {"qid": [], "nid": [], "rank": []}
+    for qi in range(len(q_ids)):
+        cells = set(int(c) for c in probe[qi])
+        q_emb = emb_lists[q_rows[qi]]
+        scored = []
+        for ci in range(len(ids)):
+            if int(cell[ci]) not in cells or ids[ci] == q_ids[qi]:
+                continue
+            scored.append((_cos_catalyst(q_emb, emb_lists[ci]), int(ids[ci])))
+        for nid, rank in _topk(scored, k):
+            rows["qid"].append(int(q_ids[qi]))
+            rows["nid"].append(nid)
+            rows["rank"].append(rank)
+    return rows
+
+
+# ------------------------------------------------------------ media stub
+
+
+def expected_media(urls: list[str], htmls: list[bytes]) -> dict[str, list]:
+    """Expected output of multimodal.decode_media (deterministic stub
+    kernel: blake2b-derived pseudo-features + magic-byte sniffing)."""
+    rows: dict[str, list] = {
+        k: []
+        for k in ("url", "media_kind", "byte_len", "magic", "width", "height", "feature0", "feature1")
+    }
+    for url, payload in zip(urls, htmls):
+        b = bytes(payload) if payload is not None else b""
+        if b[:15] == b"<!DOCTYPE html>" or b[:5] == b"<html":
+            kind = "html"
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            kind = "png"
+        elif b[:3] == b"\xff\xd8\xff":
+            kind = "jpeg"
+        elif b[:4] == b"RIFF":
+            kind = "riff"
+        else:
+            kind = "unknown"
+        d = hashlib.blake2b(b, digest_size=16).digest()
+        rows["url"].append(url)
+        rows["media_kind"].append(kind)
+        rows["byte_len"].append(len(b))
+        rows["magic"].append(b[:6].hex())
+        rows["width"].append(64 + d[0] % 192)
+        rows["height"].append(64 + d[1] % 192)
+        rows["feature0"].append(int.from_bytes(d[2:6], "big") / 2**32)
+        rows["feature1"].append(int.from_bytes(d[6:10], "big") / 2**32)
+    return rows

@@ -31,7 +31,13 @@ def multiplex_write(parsed: DataFrame, outdir: str) -> dict[str, int]:
     At cluster scale the same code writes to Iceberg via ``writeTo(...)``;
     parquet-dir layout keeps the sandbox hermetic.
     """
-    routed = with_route(parsed)
-    routed.write.mode("overwrite").partitionBy("node", "log_type").parquet(outdir)
-    counts = {r["route"]: r["n"] for r in route_counts(parsed).collect()}
+    routed = with_route(parsed).persist()
+    try:
+        routed.write.mode("overwrite").partitionBy("node", "log_type").parquet(outdir)
+        counts = {
+            r["route"]: r["n"]
+            for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()
+        }
+    finally:
+        routed.unpersist()
     return counts

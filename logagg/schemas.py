@@ -78,6 +78,33 @@ SHINGLE_SEP = "\x1f"
 # BEFORE Jaccard; this is the standard web-dedup trick and is what keeps the
 # exact pipeline viable at scale.
 DEDUP_DF_MAX = 50
+
+
+def df_max_for(n_docs: int) -> int:
+    """Scale-aware stop-shingle cut: 0.01% of the corpus, floored at
+    DEDUP_DF_MAX. A fixed cut silently truncates true duplicate clusters
+    bigger than the cut as the corpus grows; tying it to corpus size keeps
+    the recall contract stable from 6k docs to 10^12."""
+    return max(DEDUP_DF_MAX, n_docs // 10_000)
+
+
+# MinHash-LSH spec (shared by the Spark operator and the pure-Python twin
+# that materializes its expected table):
+MINHASH_PERMS = 64
+MINHASH_LSH_BANDS = 16
+MINHASH_LSH_ROWS = MINHASH_PERMS // MINHASH_LSH_BANDS
+MINHASH_SEED = 0x5EED
+MINHASH_MERSENNE = (1 << 61) - 1
+# the stop-shingle set for MinHash is estimated from a deterministic 1-in-N
+# document sample keyed by crc32(url) — same rule on both engines, and the
+# sample-rate scaling keeps the estimate unbiased: a shingle is "stop" when
+# df_sample * STOP_SAMPLE_MOD > df_max.
+STOP_SAMPLE_MOD = 8
+
+# SimHash spec (ditto):
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # pigeonhole: dist<=3 → at least one of 4 16-bit bands equal
 # Jaccard >= 0.8  <=>  9*|A∩B| >= 4*(|A|+|B|)   (integer-exact both engines)
 JACCARD_NUM = 9
 JACCARD_DEN = 4

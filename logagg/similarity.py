@@ -78,8 +78,16 @@ def _numpy_topk(queries_np: np.ndarray, qids: np.ndarray, k: int):
             out_q, out_n, out_s = [], [], []
             top = min(k + 1, sims.shape[1])
             for qi in range(sims.shape[0]):
+                # exact per-partition top-(k+1) under the (sim desc, nid asc)
+                # order: argpartition alone keeps an arbitrary subset among
+                # exactly-tied sims, which can drop the tie the global window
+                # (and the oracle) would pick. Expand by every row tied with
+                # the boundary sim, then lexsort and truncate.
                 part = np.argpartition(-sims[qi], top - 1)[:top]
-                for j in part:
+                boundary = sims[qi, part].min()
+                cand = np.flatnonzero(sims[qi] >= boundary)
+                order = np.lexsort((ids[cand], -sims[qi, cand]))
+                for j in cand[order[:top]]:
                     if ids[j] == qids[qi]:
                         continue
                     out_q.append(qids[qi])
@@ -151,8 +159,17 @@ def ann_ivf(
     touches ~nprobe/n_centroids of the corpus. Recall < 1 by construction
     (cell-boundary misses), measured in tests.
     """
+    # deterministic training sample (first 4096 ids, id-ordered): limit()
+    # without a sort depends on partition order, which would make the
+    # quantizer — and thus the whole result — non-reproducible
     sample = np.array(
-        [r["embedding"] for r in embeddings.select("embedding").limit(4096).collect()],
+        [
+            r["embedding"]
+            for r in embeddings.filter(F.col("vec_id") < 4096)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
         dtype=np.float64,
     )
     cents = _kmeans_lite(sample, n_centroids)

@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 7
+GEN_VERSION = 8
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -293,16 +293,17 @@ def _expected_parsed_table(cols: dict[str, list]) -> pa.Table:
 
 def _expected_dupes_table(cols: dict[str, list]) -> pa.Table:
     """Exact all-pairs shingle-Jaccard >= 0.8 via an inverted index, after
-    the DF_MAX stop-shingle cut (schemas.DEDUP_DF_MAX) — mirrors the Spark
-    operator in logagg.dedup exactly."""
-    from logagg.schemas import DEDUP_DF_MAX
+    the scale-aware stop-shingle cut (schemas.df_max_for) — mirrors the
+    Spark operator in logagg.dedup exactly."""
+    from logagg.schemas import df_max_for
 
     urls = cols["url"]
+    df_max = df_max_for(len(urls))
     raw_sets = [textfns.shingle_set(t) for t in cols["text"]]
     df: Counter = Counter()
     for s in raw_sets:
         df.update(s)
-    sets = [{sh for sh in s if df[sh] <= DEDUP_DF_MAX} for s in raw_sets]
+    sets = [{sh for sh in s if df[sh] <= df_max} for s in raw_sets]
     postings: dict[str, list[int]] = defaultdict(list)
     for i, s in enumerate(sets):
         for sh in s:
@@ -352,6 +353,75 @@ def _expected_doc_fp_table(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())})
 
 
+def _expected_minhash_table(cols: dict[str, list]) -> pa.Table:
+    from logagg import refsketch
+
+    rows = refsketch.expected_minhash_pairs(cols["url"], cols["text"])
+    return pa.table(
+        {
+            "url_a": pa.array(rows["url_a"], pa.string()),
+            "url_b": pa.array(rows["url_b"], pa.string()),
+            "shared": pa.array(rows["shared"], pa.int64()),
+            "na": pa.array(rows["na"], pa.int64()),
+            "nb": pa.array(rows["nb"], pa.int64()),
+        }
+    )
+
+
+def _expected_simhash_table(cols: dict[str, list]) -> pa.Table:
+    from logagg import refsketch
+
+    rows = refsketch.expected_simhash_pairs(cols["url"], cols["text"])
+    return pa.table(
+        {
+            "url_a": pa.array(rows["url_a"], pa.string()),
+            "url_b": pa.array(rows["url_b"], pa.string()),
+            "hamming": pa.array(rows["hamming"], pa.int32()),
+        }
+    )
+
+
+def _expected_media_table(cols: dict[str, list]) -> pa.Table:
+    from logagg import refsketch
+
+    rows = refsketch.expected_media(cols["url"], cols["html"])
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "media_kind": pa.array(rows["media_kind"], pa.string()),
+            "byte_len": pa.array(rows["byte_len"], pa.int64()),
+            "magic": pa.array(rows["magic"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "feature0": pa.array(rows["feature0"], pa.float64()),
+            "feature1": pa.array(rows["feature1"], pa.float64()),
+        }
+    )
+
+
+def _ann_table(rows: dict[str, list]) -> pa.Table:
+    return pa.table(
+        {
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "nid": pa.array(rows["nid"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+        }
+    )
+
+
+def _expected_ann_tables(sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    import numpy as np
+
+    from logagg import refsketch
+
+    tbl = pq.read_table(Path(sf_dir) / "embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = tbl.column("vec_id").to_pylist()
+    emb32 = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    lsh = _ann_table(refsketch.expected_ann_lsh(vec_ids, emb32))
+    ivf = _ann_table(refsketch.expected_ann_ivf(vec_ids, emb32))
+    return lsh, ivf
+
+
 def cache_dir_for(sf_dir: str) -> Path:
     return CACHE_ROOT / Path(sf_dir.rstrip("/")).name
 
@@ -377,8 +447,15 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
         _write(cdir / "expected_parsed.parquet", _expected_parsed_table(cols))
         _write(cdir / "expected_dupes.parquet", _expected_dupes_table(cols))
         _write(cdir / "expected_langid.parquet", _expected_langid_table(cols))
+        _write(cdir / "expected_minhash.parquet", _expected_minhash_table(cols))
+        _write(cdir / "expected_simhash.parquet", _expected_simhash_table(cols))
+        _write(cdir / "expected_media.parquet", _expected_media_table(cols))
         if (Path(sf_dir) / "documents.parquet").exists():
             _write(cdir / "expected_doc_fp.parquet", _expected_doc_fp_table(sf_dir))
+        if (Path(sf_dir) / "embeddings.parquet").exists():
+            lsh, ivf = _expected_ann_tables(sf_dir)
+            _write(cdir / "expected_ann_lsh.parquet", lsh)
+            _write(cdir / "expected_ann_ivf.parquet", ivf)
     meta_path.write_text(
         json.dumps({"version": GEN_VERSION, "n_pages": len(cols["url"]), "expected": expected})
     )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import re
+
 from logagg.schemas import (
     FP_BASE,
     FP_MOD,
@@ -14,10 +16,17 @@ from logagg.schemas import (
     SHINGLE_SEP,
 )
 
+# The token contract, pinned across engines: split on runs of ASCII
+# whitespace — exactly Java's default \s class ([ \t\n\x0b\f\r]), which is
+# what Spark's split() sees. Python str.split() and RE2 \s (DuckDB) each
+# use a DIFFERENT whitespace set (Unicode incl. \xa0 / missing \x0b), so
+# both oracles spell the class explicitly instead.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def tokens(text: str) -> list[str]:
-    """Whitespace tokenization (any run of whitespace; no empties)."""
-    return text.split()
+    """ASCII-whitespace tokenization (runs of [ \\t\\n\\x0b\\f\\r]; no empties)."""
+    return [t for t in _WS_RE.split(text) if t]
 
 
 def shingle_set(text: str, k: int = SHINGLE_K) -> set[str]:

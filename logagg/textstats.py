@@ -21,7 +21,12 @@ STOPWORDS = ("the", "a", "and", "of")
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens, Python-str.split() semantics (no empties)."""
+    """ASCII-whitespace tokens (Java \\s = [ \\t\\n\\x0b\\f\\r]; no empties).
+
+    This IS the pinned cross-engine token contract (textfns._WS_RE): the
+    Python oracle spells the same class explicitly (str.split would add
+    Unicode whitespace) and the DuckDB oracle SQL spells it for RE2 (whose
+    \\s lacks \\x0b)."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
 
 

@@ -1,0 +1,192 @@
+"""Round-2 contract tests: asof NULL-value carry, grok NULL input,
+cross-engine token whitespace, numpy ANN tie-breaking, the adaptive
+stop-shingle cut, and the hypothesis property test for url-meta routing."""
+
+from datetime import datetime
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from logagg import textfns, textstats
+from logagg.asof import asof_join
+from logagg.grok import GrokPattern, grok_extract_jvm, grok_extract_vectorized
+from logagg.schemas import DEDUP_DF_MAX, df_max_for
+
+
+def test_asof_join_preserves_null_value_from_matched_row(spark):
+    # the as-of-matched right row carries value NULL: the join must emit
+    # NULL, not leak the older non-null value (DuckDB/kdb ASOF semantics)
+    t = lambda m: datetime(2024, 6, 1, 12, m, 0)  # noqa: E731
+    left = spark.createDataFrame([(1, 7, t(30))], "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, t(0), 11), (7, t(10), None)], "k long, ts timestamp, v long"
+    )
+    row = asof_join(left, right, key="k", ts="ts", value_cols=["v"]).collect()[0]
+    assert row["v"] is None
+
+
+def test_grok_vectorized_null_input_matches_jvm(spark):
+    pat = GrokPattern("code=%{INT:code}")
+    df = spark.createDataFrame([("code=42",), (None,), ("nope",)], "msg string")
+    jvm = {r["msg"]: r["code"] for r in grok_extract_jvm(df, "msg", pat).collect()}
+    vec = {r["msg"]: r["code"] for r in grok_extract_vectorized(df, "msg", pat).collect()}
+    assert jvm == vec == {"code=42": "42", None: None, "nope": ""}
+
+
+def test_token_contract_non_ascii_whitespace(spark):
+    # \xa0 (Unicode NBSP) is NOT a token separator under the pinned ASCII
+    # contract; \x0b IS (Java \s includes it, RE2 \s does not). All three
+    # engines must agree.
+    texts = ["a\xa0b c", "x\x0by z", "p q r", "tab\tsep"]
+    expected = [["a\xa0b", "c"], ["x", "y", "z"], ["p q", "r"], ["tab", "sep"]]
+    assert [textfns.tokens(t) for t in texts] == expected
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: r["toks"]
+        for r in df.select("text", textstats.tokens_col(F.col("text")).alias("toks")).collect()
+    }
+    assert [got[t] for t in texts] == expected
+    ws = "'[ \\t\\n\\x0b\\f\\r]+'"
+    duck = [
+        duckdb.sql(
+            f"SELECT list_filter(string_split_regex(?, {ws}), t -> t <> '')",
+            params=[t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert duck == expected
+
+
+def test_ann_numpy_ties_match_catalyst_path(spark):
+    # duplicate vectors inside one partition: the per-partition top-k must
+    # keep the oracle's tie-winners (nid asc), not an arbitrary subset
+    from logagg.similarity import ann_bruteforce, ann_bruteforce_numpy
+
+    rows = []
+    for i in range(40):
+        vec = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    exact = {(r["qid"], r["rank"]): r["nid"] for r in ann_bruteforce(emb, n_queries=2).collect()}
+    fast = {(r["qid"], r["rank"]): r["nid"] for r in ann_bruteforce_numpy(emb, n_queries=2).collect()}
+    assert fast == exact
+
+
+def test_df_max_for_pins_two_scales():
+    assert df_max_for(6_000) == DEDUP_DF_MAX  # test corpora keep round-1 cut
+    assert df_max_for(60_000) == DEDUP_DF_MAX
+    assert df_max_for(10**9) == 100_000  # 0.01% of a 10^9-doc corpus
+    assert df_max_for(10**12) == 10**8
+
+
+def test_point_lookup_null_and_missing_contract(spark, pages_cache):
+    # reference contract (aggregator/db.py:90-110): a None id is a
+    # validation error; a missing id yields an empty (logged-None) result
+    from logagg import parse
+
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    parsed = parse.parsed_records(pages)
+    assert parsed.filter(F.col("url").isNull()).count() == 0  # url is NOT NULL by schema
+    missing = parsed.filter(F.col("url") == "https://nope.example.com/none/none/99999999")
+    assert missing.count() == 0  # missing id → empty result, no error
+
+
+URL_SAFE = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(host=URL_SAFE, node=URL_SAFE, log_type=URL_SAFE, rest=URL_SAFE)
+def test_url_meta_property(host, node, log_type, rest):
+    # property: for any well-formed url the routing regexes recover exactly
+    # the path segments (the reference hypothesis-tests get_log_dir the same
+    # way, /root/reference/tests/test_helper.py:197-207); the patterns use
+    # only constructs with identical semantics in Python re and Java regex
+    import re
+
+    from logagg.schemas import HOST_RE, LOGTYPE_RE, NODE_RE
+
+    url = f"https://{host}/{node}/{log_type}/{rest}"
+    for pattern, want in ((HOST_RE, host), (NODE_RE, node), (LOGTYPE_RE, log_type)):
+        m = re.search(pattern, url)
+        assert m and m.group(1) == want
+
+
+def test_url_meta_spark_matches_python(spark):
+    # the same segments through Spark's JVM regexp_extract — cross-engine
+    # agreement incl. no-match → "" contract on malformed urls
+    import re
+
+    from logagg import parse
+    from logagg.schemas import HOST_RE, LOGTYPE_RE, NODE_RE
+
+    urls = [
+        "https://h1.example.com/n01/smb3/00000001",
+        "https://h2.example.net/n20/auth/x",
+        "https://only-host.example.org/",
+        "ftp://h/short",
+        "no-scheme-at-all",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: (r["node"], r["log_type"], r["host"]) for r in parse.with_url_meta(df).collect()}
+    for u in urls:
+        want = tuple(
+            (m.group(1) if (m := re.search(p, u)) else "")
+            for p in (NODE_RE, LOGTYPE_RE, HOST_RE)
+        )
+        assert got[u] == want, u
+
+
+def _pairs(rows, cols):
+    return {tuple(r[c] for c in cols) for r in rows}
+
+
+def test_probabilistic_ops_equal_refsketch_twins(spark, pages_cache):
+    # the driver checks these at sf0.01; this is the hermetic sf0.001 twin
+    import pyarrow.parquet as pq
+
+    from logagg import dedup, multimodal, similarity
+
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    cols = ["url_a", "url_b", "shared", "na", "nb"]
+    got = _pairs(dedup.minhash_lsh_dupes(pages).collect(), cols)
+    exp = _pairs(pq.read_table(pages_cache / "expected_minhash.parquet").to_pylist(), cols)
+    assert got == exp and len(exp) > 10
+
+    cols = ["url_a", "url_b", "hamming"]
+    got = _pairs(dedup.simhash_dupes(pages).collect(), cols)
+    exp = _pairs(pq.read_table(pages_cache / "expected_simhash.parquet").to_pylist(), cols)
+    assert got == exp and len(exp) > 10
+
+    for fn, name in ((similarity.ann_lsh, "expected_ann_lsh"), (similarity.ann_ivf, "expected_ann_ivf")):
+        cols = ["qid", "nid", "rank"]
+        got = _pairs(fn(emb).collect(), cols)
+        exp = _pairs(pq.read_table(pages_cache / f"{name}.parquet").to_pylist(), cols)
+        assert got == exp and len(exp) == 40, name
+
+    cols = ["url", "media_kind", "byte_len", "magic", "width", "height", "feature0", "feature1"]
+    got = _pairs(multimodal.decode_media(pages).collect(), cols)
+    exp = _pairs(pq.read_table(pages_cache / "expected_media.parquet").to_pylist(), cols)
+    assert got == exp and len(exp) == 600
+
+
+def test_no_cached_rdds_after_dedup_ops(spark, pages_cache):
+    # cache lifecycle contract: dedup operators release every persisted
+    # intermediate before returning (a 40-query driver session must not
+    # accumulate executor storage)
+    from logagg import dedup
+
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    dedup.jaccard_pairs(pages).count()
+    dedup.simhash_dupes(pages).count()
+    dedup.minhash_lsh_dupes(pages).count()
+    jvm_sc = spark.sparkContext._jsc.sc()
+    assert jvm_sc.getPersistentRDDs().size() == 0
