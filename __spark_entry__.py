@@ -20,6 +20,7 @@ from logagg import (
     aggregate,
     dedup,
     enrich,
+    grok,
     multimodal,
     parse,
     route,
@@ -71,10 +72,14 @@ PARSED_COLS = [
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse → enrich → aggregate over the sf0.001 pages
-    corpus (the reference's batch ETL re-expressed; SURVEY.md §3.1)."""
+    corpus (the reference's batch ETL re-expressed; SURVEY.md §3.1).
+    Parse output is hand-pruned to the aggregate's projection — Catalyst
+    cannot prune through mapInPandas (logagg/parse.py:parse_pages)."""
     sf_dir = "/root/testdata/sf0.001"
     host_geo, lang_locale = enrich.load_lookups(spark, _cache(sf_dir))
-    parsed = parse.parsed_records(_pages(spark, sf_dir))
+    parsed = parse.parsed_records(
+        _pages(spark, sf_dir), columns=["lang", "warc_ts", "message"]
+    )
     enriched = enrich.enrich(parsed, host_geo, lang_locale)
     return aggregate.sink_agg_hourly(enriched)
 
@@ -179,22 +184,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["orders_by_region"] = _orders_by_region
     q["tpch_q3_top_orders"] = _tpch_q3_top_orders
+    q["tpch_q9_profit"] = _tpch_q9_profit
     q["lineitem_rollup"] = lambda spark, sf: (
         _tbl(spark, sf, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.sum("l_quantity").cast("bigint").alias("sum_qty"))
     )
-    # grok-style configurable extraction (logagg.grok): stack-frame mining
+    # grok-style configurable extraction (logagg.grok), both cost shapes:
+    # stack-frame mining through the compiled pattern on the JVM path...
     q["grok_stack_frames"] = lambda spark, sf: (
         _parsed(spark, sf)
         .select(
             F.explode(
-                F.regexp_extract_all("message", F.lit(_FRAME_RE), F.lit(2))
+                grok.grok_extract_all_jvm(F.col("message"), _STACK_PAT, "jfile")
             ).alias("java_file")
         )
         .groupBy("java_file")
         .agg(F.count("*").alias("n"))
     )
+    # ...and error-code mining through the vectorized (Arrow) path
+    q["grok_error_codes"] = _grok_error_codes
     q["events_hourly"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
@@ -245,7 +254,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-_FRAME_RE = r"at ([\w.]+)\(([\w.]+\.java):(\d+)\)"
+# compiled grok patterns (single source for the Spark queries AND their
+# DuckDB oracles — the pattern library is Java/RE2/Python-portable)
+_STACK_PAT = grok.GrokPattern(r"at %{JAVACLASS:cls}\(%{JAVAFILE:jfile}:%{INT:lineno}\)")
+_ERR_PAT = grok.GrokPattern(r"ErrorCode = %{INT:code} for %{PATH:err_path}")
+
+
+def _grok_error_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-pattern extraction on the vectorized grok path (one pandas
+    str.extract per Arrow batch), first-match semantics."""
+    base = _parsed(spark, sf).select("url", "record_idx", "message")
+    out = grok.grok_extract_vectorized(base, "message", _ERR_PAT)
+    return out.filter(F.col("code") != "").select("url", "record_idx", "code", "err_path")
+
+
+def _tpch_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-shaped 5-table join tree (the deepest in the suite):
+    lineitem ⋈ part('%red%') ⋈ supplier ⋈ nation ⋈ orders → profit by
+    nation × order-year. Dims broadcast; the two fact tables shuffle-join
+    on l_orderkey (exact-integer revenue, engine-portable)."""
+    part = _tbl(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supplier = _tbl(spark, sf, "supplier")
+    nation = _tbl(spark, sf, "nation")
+    lineitem = _tbl(spark, sf, "lineitem")
+    orders = _tbl(spark, sf, "orders")
+    amount = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "bigint"
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).alias("profit_e4"), F.count("*").alias("n"))
+    )
 
 
 def _tpch_q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -488,8 +531,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grok_stack_frames": (
             "SELECT java_file, count(*) AS n FROM ("
-            f"SELECT unnest(regexp_extract_all(message, 'at ([\\w.]+)\\(([\\w.]+\\.java):(\\d+)\\)', 2)) "
+            f"SELECT unnest(regexp_extract_all(message, '{_STACK_PAT.regex}', "
+            f"{_STACK_PAT.group_index('jfile')})) "
             f"AS java_file FROM {exp}) GROUP BY java_file"
+        ),
+        "grok_error_codes": (
+            f"SELECT url, record_idx, regexp_extract(message, '{_ERR_PAT.regex}', 1) AS code, "
+            f"regexp_extract(message, '{_ERR_PAT.regex}', 2) AS err_path FROM {exp} "
+            f"WHERE regexp_extract(message, '{_ERR_PAT.regex}', 1) <> ''"
+        ),
+        "tpch_q9_profit": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) "
+            "AS BIGINT) AS profit_e4, count(*) AS n "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%red%' GROUP BY n_name, year(o_orderdate)"
         ),
         "orders_by_region": (
             "SELECT r_name, count(*) AS n_orders, "

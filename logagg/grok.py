@@ -71,6 +71,17 @@ class GrokPattern:
             return None
         return dict(zip(self.fields, m.groups()))
 
+    def group_index(self, field: str) -> int:
+        """1-based regex group index of a named field."""
+        return self.fields.index(field) + 1
+
+
+def grok_extract_all_jvm(col: Column | str, pattern: GrokPattern, field: str) -> Column:
+    """ALL matches of one grok field as an array column — JVM-side
+    ``regexp_extract_all`` over the compiled pattern (the repeated-group
+    analog of ``grok_extract_jvm``; explode downstream as needed)."""
+    return F.regexp_extract_all(col, F.lit(pattern.regex), pattern.group_index(field))
+
 
 def grok_extract_jvm(df: DataFrame, col: str, pattern: GrokPattern) -> DataFrame:
     """One ``regexp_extract`` per field — all JVM/codegen; right when the

@@ -100,8 +100,11 @@ def _csv_rows(records: list[str], has_cr: bool) -> Iterator[tuple[list[str], str
             yield row, src
 
 
-def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Parse one Arrow batch of pages into parsed-record rows."""
+def _parse_batch(pdf: pd.DataFrame, columns: list[str] | None = None) -> pd.DataFrame:
+    """Parse one Arrow batch of pages into parsed-record rows. ``columns``
+    subsets the OUTPUT (validation always evaluates every field)."""
+    import itertools
+
     urls: list[str] = []
     langs: list[str | None] = []
     warcs: list = []
@@ -115,8 +118,8 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     msgs: list[str] = []
 
     col_url = pdf["url"].to_numpy()
-    col_lang = pdf["lang"].to_numpy()
-    col_warc = pdf["warc_ts"].to_numpy()
+    col_lang = pdf["lang"].to_numpy() if "lang" in pdf.columns else itertools.repeat(None)
+    col_warc = pdf["warc_ts"].to_numpy() if "warc_ts" in pdf.columns else itertools.repeat(None)
     col_text = pdf["text"].to_numpy()
 
     for url, lang, warc, text in zip(col_url, col_lang, col_warc, col_text):
@@ -158,26 +161,29 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             typs.append(f[_TYP_I])
             msgs.append(f[_MSG_I])
 
-    return pd.DataFrame(
-        {
-            "url": pd.Series(urls, dtype=object),
-            "lang": pd.Series(langs, dtype=object),
-            "warc_ts": pd.Series(warcs, dtype="datetime64[us]"),
-            "record_idx": pd.Series(idxs, dtype="int32"),
-            "extracted_text": pd.Series(texts, dtype=object),
-            "severity": pd.Series(sevs, dtype=object),
-            "jvm": pd.Series(jvms, dtype=object),
-            "datetime": pd.Series(dts, dtype="datetime64[us]"),
-            "source": pd.Series(srcs, dtype=object),
-            "type": pd.Series(typs, dtype=object),
-            "message": pd.Series(msgs, dtype=object),
-        }
-    )
+    series = {
+        "url": lambda: pd.Series(urls, dtype=object),
+        "lang": lambda: pd.Series(langs, dtype=object),
+        "warc_ts": lambda: pd.Series(warcs, dtype="datetime64[us]"),
+        "record_idx": lambda: pd.Series(idxs, dtype="int32"),
+        "extracted_text": lambda: pd.Series(texts, dtype=object),
+        "severity": lambda: pd.Series(sevs, dtype=object),
+        "jvm": lambda: pd.Series(jvms, dtype=object),
+        "datetime": lambda: pd.Series(dts, dtype="datetime64[us]"),
+        "source": lambda: pd.Series(srcs, dtype=object),
+        "type": lambda: pd.Series(typs, dtype=object),
+        "message": lambda: pd.Series(msgs, dtype=object),
+    }
+    keep = columns if columns is not None else list(series)
+    return pd.DataFrame({c: series[c]() for c in keep})
 
 
-def _parse_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield _parse_batch(pdf)
+def _parse_partition_fn(columns: list[str] | None):
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _parse_batch(pdf, columns)
+
+    return run
 
 
 def _decode_html_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,7 +206,16 @@ def _decode_html_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFra
         yield _parse_batch(out)
 
 
-def parse_pages(pages: DataFrame, source: str = "text") -> DataFrame:
+# output field → DDL type, in canonical order (mirrors schemas.PARSED_DDL)
+_PARSED_FIELDS: dict[str, str] = {
+    "url": "string", "lang": "string", "warc_ts": "timestamp",
+    "record_idx": "int", "extracted_text": "string", "severity": "string",
+    "jvm": "string", "datetime": "timestamp", "source": "string",
+    "type": "string", "message": "string",
+}
+
+
+def parse_pages(pages: DataFrame, source: str = "text", columns: list[str] | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → parsed records.
 
     ``source="text"``: only (url, lang, warc_ts, text) cross the Arrow
@@ -208,12 +223,29 @@ def parse_pages(pages: DataFrame, source: str = "text") -> DataFrame:
     scan). ``source="html"``: the records are extracted from the binary
     column instead (decode inside the same UDF pass); output is identical
     when html wraps text — the binary-path byte-identity check.
+
+    ``columns`` prunes the UDF OUTPUT (and the lang/warc_ts inputs when
+    unused): Catalyst cannot prune through an opaque mapInPandas, and
+    Arrow-shipping wide string columns (extracted_text, message) for 10^12
+    records an aggregate never reads is real bandwidth — callers that know
+    their downstream projection pass it explicitly. Validation semantics
+    (which rows parse/drop) are unaffected.
     """
+    if columns is None:
+        cols = list(_PARSED_FIELDS)
+    else:
+        bad = set(columns) - set(_PARSED_FIELDS)
+        if bad:
+            raise KeyError(f"unknown parsed columns: {sorted(bad)}")
+        cols = [c for c in _PARSED_FIELDS if c in set(columns)]  # canonical order
+    ddl = ", ".join(f"{c} {_PARSED_FIELDS[c]}" for c in cols)
     if source == "html":
+        if columns is not None:
+            raise ValueError("columns pruning is text-path only (html path is the byte-identity check)")
         pruned = pages.select("url", "lang", "warc_ts", "html")
         return pruned.mapInPandas(_decode_html_batches, schema=PARSED_DDL)
-    pruned = pages.select("url", "lang", "warc_ts", "text")
-    return pruned.mapInPandas(_parse_partition, schema=PARSED_DDL)
+    in_cols = ["url", "text"] + [c for c in ("lang", "warc_ts") if c in cols]
+    return pages.select(*in_cols).mapInPandas(_parse_partition_fn(cols), schema=ddl)
 
 
 def with_url_meta(df: DataFrame) -> DataFrame:
@@ -227,6 +259,11 @@ def with_url_meta(df: DataFrame) -> DataFrame:
     )
 
 
-def parsed_records(pages: DataFrame) -> DataFrame:
-    """Full parse stage: vectorized extraction + JVM-side url metadata."""
-    return with_url_meta(parse_pages(pages))
+def parsed_records(pages: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Full parse stage: vectorized extraction + JVM-side url metadata.
+
+    ``columns`` (parsed-field subset; url is always kept for the url-meta
+    stamp) prunes what crosses the Arrow boundary — see parse_pages."""
+    if columns is not None:
+        columns = sorted(set(columns) | {"url"})
+    return with_url_meta(parse_pages(pages, columns=columns))

@@ -185,8 +185,41 @@ def test_no_cached_rdds_after_dedup_ops(spark, pages_cache):
     from logagg import dedup
 
     pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    jvm_sc = spark.sparkContext._jsc.sc()
+    before = jvm_sc.getPersistentRDDs().size()  # other suites may share the session
     dedup.jaccard_pairs(pages).count()
     dedup.simhash_dupes(pages).count()
     dedup.minhash_lsh_dupes(pages).count()
-    jvm_sc = spark.sparkContext._jsc.sc()
-    assert jvm_sc.getPersistentRDDs().size() == 0
+    assert jvm_sc.getPersistentRDDs().size() == before
+
+
+def test_cli_find_and_view(spark, pages_cache, capsys):
+    # python -m logagg verbs (reference main() lifecycle analog); reuses the
+    # active test session via getOrCreate
+    from logagg.__main__ import main as cli_main
+
+    rc = cli_main(["find", "--sf-dir", "/root/testdata/sf0.001", "--node", "n05", "--limit", "3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3 and all("| n05\t" in line for line in out)
+
+    rc = cli_main(["view", "--sf-dir", "/root/testdata/sf0.001", "--url-suffix", "/00000042"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "/00000042#" in out
+
+    rc = cli_main(["view", "--sf-dir", "/root/testdata/sf0.001", "--url-suffix", "/no-such-url"])
+    assert rc == 1  # missing id → empty render, nonzero exit (db.py None contract)
+
+
+def test_parse_column_pruning_equals_full(spark, pages_cache):
+    # hand-pruned UDF output must equal the full parse projected after the
+    # fact — same rows (validation unchanged), same values, fewer columns
+    # across the Arrow boundary
+    from logagg import parse
+
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    full = parse.parsed_records(pages).select("url", "lang", "warc_ts", "message", "host")
+    pruned = parse.parsed_records(pages, columns=["lang", "warc_ts", "message"]).select(
+        "url", "lang", "warc_ts", "message", "host"
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    assert set(parse.parse_pages(pages, columns=["message", "url"]).columns) == {"url", "message"}

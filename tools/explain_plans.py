@@ -37,6 +37,18 @@ CHECKS = {
     },
     "point_lookup_url": {"want": [r"MapInPandas|ArrowEvalPython"]},
     "sink_agg_hourly": {"want": [r"HashAggregate", r"partial_count|partial_sum"]},
+    # deepest join tree: all three dims must broadcast; only the
+    # lineitem⋈orders fact join may shuffle
+    "tpch_q9_profit": {
+        "want": [r"BroadcastHashJoin", r"partial_sum"],
+        "must_not": [r"CartesianProduct"],
+    },
+    # vectorized grok: column pruning must reach the scan (message only
+    # needs the parse output, but html must not be read)
+    "grok_error_codes": {
+        "want": [r"MapInPandas|ArrowEvalPython"],
+        "must_not": [r"ReadSchema:.*html"],
+    },
 }
 
 
