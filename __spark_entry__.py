@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_dupes(
         _tbl(spark, sf, "embeddings")
     )
+    # iterative connected components over the verified near-dup pairs →
+    # canonical keeper per cluster (min-label propagation; union-find twin)
+    q["dedup_clusters"] = lambda spark, sf: dedup.dup_clusters(_pages(spark, sf))
 
     # ---- similarity search
     q["ann_topk"] = lambda spark, sf: similarity.ann_bruteforce(_tbl(spark, sf, "embeddings"))
@@ -481,6 +484,9 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic operators: expected tables from the independent
         # pure-Python twins in logagg.refsketch (differential oracle — same
         # seeds/spec, independent computation)
+        "dedup_clusters": (
+            f"SELECT url, cluster FROM read_parquet('{c}/expected_clusters.parquet')"
+        ),
         "dedup_minhash_lsh": (
             f"SELECT url_a, url_b, shared, na, nb FROM read_parquet('{c}/expected_minhash.parquet')"
         ),

@@ -140,6 +140,20 @@ def jaccard_pairs(
     df_max = df_max_for(_doc_count(df, n_docs))
     sh = shingles(df, id_col, text_col)
 
+    # join-key compression: the pair aggregation is the job's hottest
+    # shuffle, and grouping on two ~65-char url strings is most of its
+    # cost — remap docs to dense int ids via one broadcast join first and
+    # group on a packed (long, long) struct instead. The map is |docs|
+    # rows (tiny next to |shingles|); at cluster scale the same remap is a
+    # bucketed join against a doc-id dimension instead of a broadcast.
+    # materialized (not lazy): monotonically_increasing_id is recompute-
+    # unstable — the map is consumed by three joins and must be frozen
+    id_map = materialize_local(
+        df.select(F.col(id_col).alias("_doc")).distinct()
+        .withColumn("iid", F.monotonically_increasing_id())
+    )
+    sh = sh.join(F.broadcast(id_map), sh["id"] == F.col("_doc")).select("iid", "shingle")
+
     # One aggregation produces both the document-frequency cut and the
     # postings list: collect ids per shingle, keep lists of size 2..df_max
     # (df=1 shingles pair with nothing; df>df_max are stop-shingles).
@@ -147,51 +161,116 @@ def jaccard_pairs(
     # whole explode+shuffle subtree runs twice; released before return.
     postings = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list("iid")).alias("ids"))
         .filter(F.size("ids") <= df_max)
         .persist()
     )
     try:
         sizes = (
-            postings.select(F.explode("ids").alias("id"))
-            .groupBy("id")
+            postings.select(F.explode("ids").alias("iid"))
+            .groupBy("iid")
             .agg(F.count("*").alias("set_size"))
         )
 
         # pairwise combinations per postings list, JVM-side: ids are sorted,
-        # so (ids[i], y in ids[i+1:]) enumerates each unordered pair once with
-        # url_a < url_b. Replaces a full self-join shuffle of the exploded
-        # (id, shingle) table with one explode over df_max-bounded lists.
+        # so (ids[i], y in ids[i+1:]) enumerates each unordered pair once.
+        # Replaces a full self-join shuffle of the exploded (id, shingle)
+        # table with one explode over df_max-bounded lists.
         ids = F.col("ids")
         combos = F.flatten(
             F.transform(
                 ids,
                 lambda x, i: F.transform(
                     F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
+                    lambda y: F.struct(x.alias("ia"), y.alias("ib")),
                 ),
             )
         )
         shared = (
             postings.filter(F.size("ids") >= 2)
             .select(F.explode(combos).alias("p"))
-            .groupBy(F.col("p.url_a").alias("url_a"), F.col("p.url_b").alias("url_b"))
+            .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
             .agg(F.count("*").alias("shared"))
         )
-        sa = sizes.select(F.col("id").alias("url_a"), F.col("set_size").alias("na"))
-        sb = sizes.select(F.col("id").alias("url_b"), F.col("set_size").alias("nb"))
-        result = (
-            shared.join(sa, "url_a")
-            .join(sb, "url_b")
+        sa = sizes.select(F.col("iid").alias("ia"), F.col("set_size").alias("_sa"))
+        sb = sizes.select(F.col("iid").alias("ib"), F.col("set_size").alias("_sb"))
+        ma = id_map.select(F.col("iid").alias("ia"), F.col("_doc").alias("_ua"))
+        mb = id_map.select(F.col("iid").alias("ib"), F.col("_doc").alias("_ub"))
+        resolved = (
+            shared.join(F.broadcast(sa), "ia")
+            .join(F.broadcast(sb), "ib")
             .filter(
                 F.lit(JACCARD_NUM) * F.col("shared")
-                >= F.lit(JACCARD_DEN) * (F.col("na") + F.col("nb"))
+                >= F.lit(JACCARD_DEN) * (F.col("_sa") + F.col("_sb"))
             )
-            .select("url_a", "url_b", "shared", "na", "nb")
+            .join(F.broadcast(ma), "ia")
+            .join(F.broadcast(mb), "ib")
+        )
+        # output orientation contract: url_a < url_b lexicographically
+        # (int-id order is allocation order, not url order)
+        swap = F.col("_ua") > F.col("_ub")
+        result = resolved.select(
+            F.when(swap, F.col("_ub")).otherwise(F.col("_ua")).alias("url_a"),
+            F.when(swap, F.col("_ua")).otherwise(F.col("_ub")).alias("url_b"),
+            F.col("shared"),
+            F.when(swap, F.col("_sb")).otherwise(F.col("_sa")).alias("na"),
+            F.when(swap, F.col("_sa")).otherwise(F.col("_sb")).alias("nb"),
         )
         return materialize_local(result)
     finally:
         postings.unpersist()
+
+
+# ------------------------------------------------------- dup clustering
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the verified near-dup pairs → per-doc
+    cluster id (the lexicographically smallest url in the component — the
+    canonical "keeper" a training pipeline retains).
+
+    Iterative min-label propagation on the PAIR list, not the corpus: the
+    edge set is the dedup output (orders of magnitude smaller than the
+    corpus), so each iteration is a small join; dup clusters are near-
+    cliques, so convergence is 1-3 iterations. Labels are materialized per
+    iteration (bounded by 2·|pairs|) — the cluster-scale variant keeps them
+    distributed and checkpoints per iteration instead.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(df, id_col, text_col)
+    edges = pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")).union(
+        pairs.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    )
+    labels = materialize_local(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = materialize_local(
+            labels.join(nbr, labels["id"] == nbr["dst"], "left").select(
+                "id", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
 # --------------------------------------------------------------- SimHash

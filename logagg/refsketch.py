@@ -157,6 +157,26 @@ def expected_minhash_pairs(urls: list[str], texts: list[str]) -> dict[str, list]
     return rows
 
 
+def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over dup pairs → {url: cluster root (min url in the
+    component)} — the twin of dedup.dup_clusters' label propagation."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {u: find(u) for u in parent}
+
+
 # ------------------------------------------------------------ ANN twins
 
 

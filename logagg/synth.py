@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 8
+GEN_VERSION = 9
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -353,6 +353,22 @@ def _expected_doc_fp_table(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())})
 
 
+def _expected_clusters_table(dupes: pa.Table) -> pa.Table:
+    """Union-find over the expected dup pairs → (url, cluster) — the oracle
+    for the iterative connected-components operator."""
+    from logagg import refsketch
+
+    pairs = list(zip(dupes.column("url_a").to_pylist(), dupes.column("url_b").to_pylist()))
+    comp = refsketch.connected_components(pairs)
+    urls = sorted(comp)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "cluster": pa.array([comp[u] for u in urls], pa.string()),
+        }
+    )
+
+
 def _expected_minhash_table(cols: dict[str, list]) -> pa.Table:
     from logagg import refsketch
 
@@ -445,7 +461,9 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
     _write(cdir / "lang_locale.parquet", lang_locale)
     if expected:
         _write(cdir / "expected_parsed.parquet", _expected_parsed_table(cols))
-        _write(cdir / "expected_dupes.parquet", _expected_dupes_table(cols))
+        dupes = _expected_dupes_table(cols)
+        _write(cdir / "expected_dupes.parquet", dupes)
+        _write(cdir / "expected_clusters.parquet", _expected_clusters_table(dupes))
         _write(cdir / "expected_langid.parquet", _expected_langid_table(cols))
         _write(cdir / "expected_minhash.parquet", _expected_minhash_table(cols))
         _write(cdir / "expected_simhash.parquet", _expected_simhash_table(cols))

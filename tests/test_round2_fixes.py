@@ -223,3 +223,18 @@ def test_parse_column_pruning_equals_full(spark, pages_cache):
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
     assert set(parse.parse_pages(pages, columns=["message", "url"]).columns) == {"url", "message"}
+
+
+def test_dup_clusters_match_union_find(spark, pages_cache):
+    import pyarrow.parquet as pq
+
+    from logagg import dedup
+
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    got = {(r["url"], r["cluster"]) for r in dedup.dup_clusters(pages).collect()}
+    exp_tbl = pq.read_table(pages_cache / "expected_clusters.parquet")
+    exp = set(zip(exp_tbl.column("url").to_pylist(), exp_tbl.column("cluster").to_pylist()))
+    assert got == exp and len(exp) > 20
+    # every cluster id is a member of its own cluster (the keeper exists)
+    roots = {c for _, c in exp}
+    assert roots <= {u for u, _ in exp}
