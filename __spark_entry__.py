@@ -149,6 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # deterministic leakage-safe train/holdout split (md5-hash bucketing)
+    q["doc_hash_split"] = lambda spark, sf: (
+        textstats.hash_split(_tbl(spark, sf, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
     # ---- dedup
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dupes(_tbl(spark, sf, "documents"))
     q["dedup_shingle_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_pages(spark, sf))
@@ -473,6 +480,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_by_source": (
             f'SELECT "source", count(*) AS n_docs, round(avg({quality}), 6) AS avg_quality '
             'FROM documents GROUP BY "source"'
+        ),
+        "doc_hash_split": (
+            "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' "
+            "THEN 'train' ELSE 'holdout' END AS split, lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1, 2"
         ),
         "dedup_exact_docs": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n "

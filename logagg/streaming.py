@@ -113,3 +113,101 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def user_sessions_tws(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session counting via ``transformWithStateInPandas`` — the
+    Spark 4 successor to applyInPandasWithState (typed state handles, timer
+    support, RocksDB-backed): a ValueState of (last_ts_us, n_sessions) per
+    user; a row more than ``gap_minutes`` after the previous one opens a new
+    session. Emits the cumulative count on every update.
+
+    Ordering contract: rows are sorted by ts inside each micro-batch; exact
+    equality with the batch sessionizer therefore holds when a user's rows
+    do not interleave out of order ACROSS batches (true here — one input
+    file; production uses event-time timers + watermark for stragglers).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sess", "last_us long, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_us, n = self._state.get()
+            else:
+                last_us, n = None, 0
+            ts = pd.concat([pdf["ts"] for pdf in rows]).sort_values()
+            for t_us in ts.to_numpy().astype("datetime64[us]").astype("int64"):
+                if last_us is None or t_us - last_us > gap_us:
+                    n += 1
+                last_us = int(t_us)
+            self._state.update((last_us, n))
+            yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionCounter(),
+        outputStructType="user_id long, n_sessions long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_sessions_tws_to_memory(
+    spark: SparkSession, events_dir: str, query_name: str = "tws_sessions"
+) -> DataFrame:
+    """Drive the transformWithState sessionizer over all available input
+    (RocksDB state store — required by transformWithState).
+
+    Environment gate: Spark's transformWithState driver worker talks proto
+    over a local socket and needs the ``google.protobuf`` Python package —
+    absent in this container, present on any real Spark 4 cluster. Raises
+    ImportError when unavailable (callers/tests skip).
+    """
+    import os
+    import tempfile
+
+    from google.protobuf import descriptor  # noqa: F401  (availability gate)
+
+    if os.path.isfile(events_dir):  # file streams need a directory source
+        staged = tempfile.mkdtemp(prefix="logagg-events-stream-")
+        os.symlink(os.path.abspath(events_dir), os.path.join(staged, "part-00000.parquet"))
+        events_dir = staged
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_sessions_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return spark.sql(
+        f"SELECT user_id, max(n_sessions) AS n_sessions FROM {query_name} GROUP BY user_id"
+    )

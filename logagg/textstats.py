@@ -74,6 +74,29 @@ def with_lang_pred(df: DataFrame, text_col: str = "text", out_col: str = "lang_p
     return tmp.withColumn(out_col, pred).drop("_toks", *[f"_s_{lang}" for lang in langs])
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    threshold_hex: str = "3333",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/holdout assignment by content-independent hash of
+    a stable key — the standard leakage-safe way to split a training corpus
+    (same key → same split on every run, every engine, any partitioning).
+
+    A row is "train" when the first 4 hex chars of md5(key) sort before
+    ``threshold_hex`` (fixed-width lowercase hex compares lexicographically
+    = numerically, so the fraction is int(threshold_hex,16)/65536 exactly —
+    "3333" ≈ 20.0%). Pure Catalyst; the DuckDB oracle is the same
+    expression verbatim."""
+    # hash the key's STRING form: int→binary would be raw bytes in Spark
+    # but a decimal string in the SQL oracle's md5(CAST(k AS VARCHAR))
+    frag = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 4)
+    return df.withColumn(
+        out_col, F.when(frag < F.lit(threshold_hex), F.lit("train")).otherwise(F.lit("holdout"))
+    )
+
+
 def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     def fp(text: str) -> int:
         h = 0

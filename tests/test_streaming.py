@@ -39,3 +39,25 @@ def test_stateful_host_counts_equals_batch(spark, pages_cache):
         .collect()
     }
     assert got == batch and len(got) > 50
+
+
+def test_tws_sessions_equal_batch(spark):
+    # transformWithStateInPandas sessionizer == the batch window sessionizer
+    # (needs google.protobuf, which Spark's TWS driver worker imports —
+    # gate like any missing-native dependency)
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in streaming.run_sessions_tws_to_memory(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in entrymod.queries()["user_sessions"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == batch and len(got) > 20
