@@ -325,7 +325,11 @@ def _headline():
         "html_meta": (qs["html_meta"], count),
         "media_decode_stub": (qs["media_decode_stub"], count),
         "doc_fingerprints": (qs["doc_fingerprints"], count),
+        "dedup_clusters": (qs["dedup_clusters"], collect),
+        "doc_hash_split": (qs["doc_hash_split"], collect),
         "tpch_q1": (qs["tpch_q1"], collect),
+        "tpch_q9_profit": (qs["tpch_q9_profit"], collect),
+        "grok_error_codes": (qs["grok_error_codes"], count),
         "orders_by_region": (qs["orders_by_region"], collect),
         "events_hourly": (qs["events_hourly"], count),
         "user_sessions": (qs["user_sessions"], count),

@@ -242,35 +242,37 @@ def dup_clusters(
     iteration (bounded by 2·|pairs|) — the cluster-scale variant keeps them
     distributed and checkpoints per iteration instead.
     """
+    spark = df.sparkSession
     if pairs is None:
         pairs = jaccard_pairs(df, id_col, text_col)
     edges = pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")).union(
         pairs.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
     )
-    labels = materialize_local(
+    # labels come back to the driver once per iteration anyway (convergence
+    # check) — keep a pandas copy so each iteration is ONE Spark action
+    labels_pdf = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    )
+    ).toPandas()
     for _ in range(max_iters):
+        labels = spark.createDataFrame(labels_pdf, "id string, label string")
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = materialize_local(
-            labels.join(nbr, labels["id"] == nbr["dst"], "left").select(
-                "id", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
-            )
+        new_pdf = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select("id", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"))
+            .toPandas()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        old = labels_pdf.sort_values("id").reset_index(drop=True)
+        new = new_pdf.sort_values("id").reset_index(drop=True)
+        labels_pdf = new_pdf
+        if old["label"].equals(new["label"]):
             break
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+    return spark.createDataFrame(labels_pdf, "id string, label string").select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster")
+    )
 
 
 # --------------------------------------------------------------- SimHash

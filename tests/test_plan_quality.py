@@ -1,0 +1,32 @@
+"""Plan-quality assertions as CI: pushdown, pruning, broadcast placement and
+partial aggregation must hold for the headline plans (tools/explain_plans.py
+is the human-readable variant of the same checks)."""
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+def test_headline_plans_have_scale_properties(spark, pages_cache):
+    import __spark_entry__ as entrymod
+    from explain_plans import CHECKS
+
+    qs = entrymod.queries()
+    failures = []
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        for pat in checks.get("want", []):
+            if not re.search(pat, plan):
+                failures.append(f"{name}: missing {pat}")
+        for pat in checks.get("must_not", []):
+            if re.search(pat, plan):
+                failures.append(f"{name}: violated {pat}")
+    assert not failures, failures
