@@ -238,3 +238,26 @@ def test_dup_clusters_match_union_find(spark, pages_cache):
     # every cluster id is a member of its own cluster (the keeper exists)
     roots = {c for _, c in exp}
     assert roots <= {u for u, _ in exp}
+
+
+def test_media_sniff_kinds(spark):
+    # the corpus is html-only, so exercise the other magic-byte branches
+    # (and NULL payload) directly
+    from logagg import multimodal
+
+    rows = [
+        ("u1", b"\x89PNG\r\n\x1a\n" + b"x" * 16),
+        ("u2", b"\xff\xd8\xff\xe0rest-of-jpeg"),
+        ("u3", b"RIFF\x00\x00\x00\x00WAVE"),
+        ("u4", b"plain garbage"),
+        ("u5", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["media_kind"], r["byte_len"]) for r in multimodal.decode_media(df).collect()}
+    assert got == {
+        "u1": ("png", 24),
+        "u2": ("jpeg", 16),
+        "u3": ("riff", 12),
+        "u4": ("unknown", 13),
+        "u5": ("unknown", 0),
+    }
