@@ -1,0 +1,86 @@
+"""Property-based contracts: as-of join vs a per-row oracle over randomized
+tables (NULL values, timestamp ties, keys with no matches), and the grok
+compiler vs plain Python re on randomized patterns."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logagg.asof import asof_join
+from logagg.grok import GROK_LIBRARY, GrokPattern
+
+BASE = datetime(2024, 1, 1)
+
+# one shared micro-table strategy: (key, minute-offset, value-or-None)
+LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=12
+)
+RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.one_of(st.none(), st.integers(0, 99))),
+    min_size=0,
+    max_size=12,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(max_examples=25, deadline=None)
+@given(left_rows=LEFT, right_rows=RIGHT)
+def test_asof_join_property(_spark, left_rows, right_rows):
+    spark = _spark
+    left = spark.createDataFrame(
+        [(i, k, BASE + timedelta(minutes=m)) for i, (k, m) in enumerate(left_rows)],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for (k, m, v) in right_rows],
+        "k long, ts timestamp, v long",
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, key="k", ts="ts", value_cols=["v"]).collect()
+    }
+    assert set(got) == set(range(len(left_rows)))
+    for i, (k, m) in enumerate(left_rows):
+        # oracle: the value of the LATEST right row at-or-before, ties by
+        # max m (any of the tied rows — value must match one of them)
+        prior = [(rm, v) for (rk, rm, v) in right_rows if rk == k and rm <= m]
+        if not prior:
+            assert got[i] is None, (i, k, m)
+        else:
+            best_m = max(rm for rm, _ in prior)
+            allowed = {v for rm, v in prior if rm == best_m}
+            assert got[i] in allowed, (i, k, m, got[i], allowed)
+
+
+LITERALS = st.text(alphabet="abcxyz_ ", min_size=0, max_size=6)
+PATTERN_NAMES = st.sampled_from(sorted(set(GROK_LIBRARY) - {"DATA", "GREEDYDATA"}))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lit1=LITERALS,
+    lit2=LITERALS,
+    name1=PATTERN_NAMES,
+    name2=PATTERN_NAMES,
+    subject=st.text(alphabet="abcx yz0189./_:()INFO-", min_size=0, max_size=40),
+)
+def test_grok_compiler_matches_plain_re(lit1, lit2, name1, name2, subject):
+    import re
+
+    pat = GrokPattern(f"{re.escape(lit1)}%{{{name1}:f1}}{re.escape(lit2)}%{{{name2}:f2}}")
+    expected_re = (
+        f"{re.escape(lit1)}({GROK_LIBRARY[name1]}){re.escape(lit2)}({GROK_LIBRARY[name2]})"
+    )
+    assert pat.regex == expected_re and pat.fields == ["f1", "f2"]
+    m = re.search(expected_re, subject)
+    got = pat.match(subject)
+    if m is None:
+        assert got is None
+    else:
+        assert got == {"f1": m.group(1), "f2": m.group(2)}
