@@ -71,3 +71,37 @@ class StageLedger:
             return existing, False
         metrics = fn()
         return self.record(stage, fingerprint, metrics), True
+
+    def run_stage_buckets(
+        self,
+        stage: str,
+        fingerprint: str,
+        n_buckets: int,
+        fn: Callable[[int], dict[str, Any]],
+    ) -> tuple[dict, int]:
+        """Mid-stage-resumable execution: the stage is split into
+        ``n_buckets`` independently-checkpointed sub-stages (one marker —
+        and one idempotent sink partition — per bucket), so a crash loses
+        only the in-flight bucket, not the whole stage. Markers double as
+        per-partition lineage: each records its bucket's metrics.
+
+        Returns (rollup marker, number of buckets actually executed)."""
+        ran = 0
+        bucket_metrics: list[dict] = []
+        for b in range(n_buckets):
+            marker, did = self.run_stage(f"{stage}.b{b:03d}", fingerprint, lambda b=b: fn(b))
+            ran += int(did)
+            bucket_metrics.append(marker)
+        if ran == 0:
+            existing = self.completed(stage, fingerprint)
+            if existing is not None:
+                return existing, 0  # full skip: rollup marker untouched
+        rollup = {
+            "n_buckets": n_buckets,
+            "rows": sum(m.get("rows", 0) for m in bucket_metrics),
+            "buckets": [
+                {k: v for k, v in m.items() if k not in ("fingerprint",)}
+                for m in bucket_metrics
+            ],
+        }
+        return self.record(stage, fingerprint, rollup), ran

@@ -31,28 +31,40 @@ def run_pipeline(spark: SparkSession, sf_dir: str, outdir: str) -> dict:
     out = Path(outdir)
     ledger = StageLedger(out)
     pages_path = str(cache / "pages.parquet")
-    fp = _fingerprint("v1", pages_path, synth.GEN_VERSION)
 
     results: dict[str, dict] = {}
 
-    # stage 1: parse + enrich → staged records table
+    # stage 1: parse + enrich → staged records table. MID-STAGE resumable:
+    # the input file list is split into buckets, each an independently-
+    # checkpointed sub-stage writing its own sink partition (bucket=<b>/),
+    # so a crash mid-parse loses only the in-flight bucket. The per-bucket
+    # markers are the per-partition lineage record (north-star contract;
+    # on Iceberg the same metadata rides on snapshot properties).
     parsed_path = str(out / "parsed")
+    part_files = sorted(str(p) for p in Path(pages_path).glob("*.parquet"))
+    n_buckets = min(8, max(1, len(part_files)))
+    file_buckets = [part_files[b::n_buckets] for b in range(n_buckets)]
+    # the input FILE LIST is part of the lineage fingerprint: a changed
+    # list silently remaps files to buckets, so every bucket must rerun
+    fp = _fingerprint("v2", pages_path, synth.GEN_VERSION, len(part_files))
 
-    def _parse_stage() -> dict:
-        pages = spark.read.parquet(pages_path)
+    def _parse_bucket(b: int) -> dict:
+        pages = spark.read.parquet(*file_buckets[b])
         host_geo, lang_locale = enrich.load_lookups(spark, cache)
         parsed = enrich.enrich(parse.parsed_records(pages), host_geo, lang_locale)
-        parsed.write.mode("overwrite").parquet(parsed_path)
-        n = spark.read.parquet(parsed_path).count()
-        return {"rows": n, "sink": parsed_path}
+        sink = str(Path(parsed_path) / f"bucket={b}")
+        parsed.write.mode("overwrite").parquet(sink)
+        n = spark.read.parquet(sink).count()
+        return {"rows": n, "n_files": len(file_buckets[b]), "sink": sink}
 
-    results["parse"], _ = ledger.run_stage("parse", fp, _parse_stage)
+    results["parse"], _ = ledger.run_stage_buckets("parse", fp, n_buckets, _parse_bucket)
 
     # stage 2: route → multiplexed fan-out write, per-sink counts as lineage
     routed_path = str(out / "routed")
 
     def _route_stage() -> dict:
-        parsed = spark.read.parquet(parsed_path)
+        # drop the resume-bucket partition column — stage-internal layout
+        parsed = spark.read.parquet(parsed_path).drop("bucket")
         counts = route.multiplex_write(parsed, routed_path)
         return {"rows": sum(counts.values()), "sinks": counts, "sink": routed_path}
 

@@ -82,3 +82,36 @@ def test_pipeline_heals_partial_sink(spark, tmp_path):
     assert second["route"]["sinks"] == first["route"]["sinks"]
     n = spark.read.parquet(str(routed)).count()
     assert n == first["route"]["rows"]
+
+
+def test_pipeline_resumes_mid_stage(spark, tmp_path):
+    """Crash MID-parse model: one bucket's marker+sink lost → only that
+    bucket re-executes; the others keep their identical markers (per-
+    partition lineage, north-star 'resumable mid-stage' contract)."""
+    import shutil
+
+    out = tmp_path / "out"
+    sf_dir = "/root/testdata/sf0.01"  # 3 part files -> 3 buckets (sf0.001 has 1)
+    first = run_pipeline(spark, sf_dir, str(out))
+    assert first["parse"]["n_buckets"] > 1
+    victim = out / "_meta" / "parse.b001.json"
+    victim.unlink()
+    shutil.rmtree(out / "parsed" / "bucket=1")
+    (out / "_meta" / "parse.json").unlink()  # rollup is re-derived
+    # downstream stages read the healed parse output → must also rerun
+    (out / "_meta" / "route.json").unlink()
+    (out / "_meta" / "aggregate.json").unlink()
+    before = {
+        p.name: json.loads(p.read_text())["completed_at"]
+        for p in (out / "_meta").glob("parse.b*.json")
+    }
+    second = run_pipeline(spark, sf_dir, str(out))
+    after = {
+        p.name: json.loads(p.read_text())["completed_at"]
+        for p in (out / "_meta").glob("parse.b*.json")
+    }
+    assert victim.name in after
+    unchanged = {k for k in before if k in after and before[k] == after[k]}
+    assert unchanged == set(before) - {victim.name}  # only the victim re-ran
+    assert second["parse"]["rows"] == first["parse"]["rows"]
+    assert second["route"]["rows"] == first["route"]["rows"]
