@@ -48,17 +48,26 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(_cache(sf_dir) / "pages.parquet"))
 
 
-def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parse.parsed_records(_pages(spark, sf_dir))
+def _parsed(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Parsed records; ``columns`` hand-prunes the UDF output for narrow
+    consumers (Catalyst cannot prune through mapInPandas — url is always
+    kept and node/log_type/host are always stamped from it JVM-side)."""
+    return parse.parsed_records(_pages(spark, sf_dir), columns=columns)
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _enriched(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
     host_geo, lang_locale = enrich.load_lookups(spark, _cache(sf_dir))
-    return enrich.enrich(_parsed(spark, sf_dir), host_geo, lang_locale)
+    if columns is not None:
+        columns = sorted(set(columns) | {"lang"})  # lang is a join key
+    return enrich.enrich(_parsed(spark, sf_dir, columns), host_geo, lang_locale)
 
 
 PARSED_COLS = [
@@ -98,29 +107,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(*PARSED_COLS)
     # display projection (SURVEY.md §2.3 Q4, golden-tested in tests/test_view.py)
     q["render_lines"] = lambda spark, sf: view.render_lines(_parsed(spark, sf))
-    q["parse_severity_counts"] = lambda spark, sf: aggregate.severity_counts(_parsed(spark, sf))
-    q["parse_source_counts"] = lambda spark, sf: aggregate.source_counts(_parsed(spark, sf))
+    q["parse_severity_counts"] = lambda spark, sf: aggregate.severity_counts(
+        _parsed(spark, sf, columns=["severity"])
+    )
+    q["parse_source_counts"] = lambda spark, sf: aggregate.source_counts(
+        _parsed(spark, sf, columns=["source"])
+    )
 
     # ---- find/sort/point-lookup (SURVEY.md §2.3 Q1-Q3)
     q["find_node_sorted"] = lambda spark, sf: (
-        _parsed(spark, sf)
+        _parsed(spark, sf, columns=["record_idx", "datetime", "severity", "message"])
         .filter(F.col("node") == "n05")
         .orderBy(F.col("datetime").desc(), "url", "record_idx")
         .select("url", "record_idx", "datetime", "severity", "message")
     )
     q["point_lookup_url"] = lambda spark, sf: (
-        _parsed(spark, sf)
+        _parsed(spark, sf, columns=["record_idx", "severity", "datetime", "message"])
         .filter(F.col("url").endswith("/00000042"))
         .select("url", "record_idx", "severity", "datetime", "message")
     )
 
     # ---- enrich / route / aggregate (SURVEY.md §2.4-2.5, north-star)
     q["enrich_geo_counts"] = lambda spark, sf: (
-        _enriched(spark, sf).groupBy("geo", "locale").agg(F.count("*").alias("n"))
+        _enriched(spark, sf, columns=[])  # geo/locale come from host/lang joins
+        .groupBy("geo", "locale")
+        .agg(F.count("*").alias("n"))
     )
-    q["route_counts"] = lambda spark, sf: route.route_counts(_parsed(spark, sf))
-    q["sink_agg_hourly"] = lambda spark, sf: aggregate.sink_agg_hourly(_parsed(spark, sf))
-    q["host_agg_salted"] = lambda spark, sf: aggregate.host_agg_salted(_parsed(spark, sf))
+    q["route_counts"] = lambda spark, sf: route.route_counts(
+        _parsed(spark, sf, columns=[])  # node/log_type are url-derived
+    )
+    q["sink_agg_hourly"] = lambda spark, sf: aggregate.sink_agg_hourly(
+        _parsed(spark, sf, columns=["lang", "warc_ts", "message"])
+    )
+    q["host_agg_salted"] = lambda spark, sf: aggregate.host_agg_salted(
+        _parsed(spark, sf, columns=["record_idx", "message"])
+    )
     q["enrich_geo_salted_join"] = _enrich_geo_salted_join
     q["top_hosts_per_geo"] = _top_hosts_per_geo
 
@@ -203,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grok-style configurable extraction (logagg.grok), both cost shapes:
     # stack-frame mining through the compiled pattern on the JVM path...
     q["grok_stack_frames"] = lambda spark, sf: (
-        _parsed(spark, sf)
+        _parsed(spark, sf, columns=["message"])
         .select(
             F.explode(
                 grok.grok_extract_all_jvm(F.col("message"), _STACK_PAT, "jfile")
@@ -274,14 +295,19 @@ def _grok_error_codes(spark: SparkSession, sf: str) -> DataFrame:
     """Wide-pattern extraction on the vectorized grok path (one pandas
     str.extract per Arrow batch), first-match semantics.
 
-    A JVM literal pre-filter (contains) runs before the Arrow hop: any
-    regex match necessarily contains the literal, so only the ~9% of rows
-    that can match pay the per-row Python regex — the hand analog of
-    pushing a cheap predicate below an opaque UDF."""
+    Two derived literal pre-filters run before any Python regex:
+    (1) grok.pushdown_filter drops pages whose RAW text cannot yield a
+        matching record, on the parquet scan BELOW the parse UDF — only the
+        ~9% of pages that can match are parsed at all;
+    (2) the full required_literal (contains) prunes parsed records before
+        the Arrow hop into the vectorized extractor.
+    Both are derived from the compiled pattern (GrokPattern.required_literal /
+    scan_literal), so any grok query gets them for free."""
+    pages = _pages(spark, sf).filter(grok.pushdown_filter("text", _ERR_PAT))
     base = (
-        _parsed(spark, sf)
+        parse.parsed_records(pages, columns=["record_idx", "message"])
         .select("url", "record_idx", "message")
-        .filter(F.col("message").contains("ErrorCode = "))
+        .filter(F.col("message").contains(_ERR_PAT.required_literal))
     )
     out = grok.grok_extract_vectorized(base, "message", _ERR_PAT)
     return out.filter(F.col("code") != "").select("url", "record_idx", "code", "err_path")
@@ -334,7 +360,12 @@ def _enrich_geo_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     Zipf-skewed fact against host_geo, then geo rollup — equals the plain
     inner join exactly (proven by the shared oracle)."""
     host_geo, _ = enrich.load_lookups(spark, _cache(sf))
-    joined = aggregate.salted_join(_parsed(spark, sf), host_geo, key="host")
+    joined = aggregate.salted_join(
+        _parsed(spark, sf, columns=["record_idx"]),
+        host_geo,
+        key="host",
+        salt_cols=["url", "record_idx"],  # narrow, unique per row, deterministic
+    )
     return joined.groupBy("geo").agg(F.count("*").alias("n"))
 
 
@@ -342,7 +373,7 @@ def _top_hosts_per_geo(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 hosts by record count within each geo — window top-k over the
     enriched fact (rank ties broken by host for determinism)."""
     counts = (
-        _enriched(spark, sf)
+        _enriched(spark, sf, columns=[])
         .filter(F.col("geo").isNotNull())
         .groupBy("geo", "host")
         .agg(F.count("*").alias("n"))

@@ -47,6 +47,7 @@ def salted_join(
     dim: DataFrame,
     key: str,
     buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explicit skew-safe equi-join: replicate the dim side ``buckets``×
     with a salt column, salt the fact side deterministically, join on
@@ -55,16 +56,22 @@ def salted_join(
     join exactly (dim assumed unique per key). AQE's skew-join split is
     the automatic variant; this is the hand-rolled one for engines/plans
     where AQE can't see the skew (e.g. pre-partitioned bucketed tables).
+
+    The salt MUST be a deterministic function of row content: a
+    recompute-unstable salt (ordinal / monotonically_increasing_id) used as
+    a shuffle-join key silently duplicates or drops rows when a task is
+    recomputed after a shuffle-fetch failure at cluster scale. Callers pass
+    ``salt_cols`` — one or two cheap narrow columns that spread the hot key
+    (hashing wide payload strings costs real per-row CPU for no better
+    spread); default is every fact column (always safe, possibly wasteful).
     """
     from pyspark.sql import functions as F
 
     salt_values = F.array(*[F.lit(i) for i in range(buckets)])
     dim_rep = dim.withColumn("_salt", F.explode(salt_values))
-    # salt from a per-row ordinal, not a hash of every fact column — hashing
-    # wide string payloads (message/extracted_text) costs real per-row CPU
-    # and buys no better spread than a round-robin ordinal
+    cols = salt_cols if salt_cols is not None else fact.columns
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
     )
     return fact_salted.join(dim_rep, [key, "_salt"], "inner").drop("_salt")
 

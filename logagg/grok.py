@@ -40,6 +40,73 @@ GROK_LIBRARY: dict[str, str] = {
 
 _GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
+_REGEX_META = set(".^$*+?()[]{}|")
+_UNSAFE_SEG = re.compile(r"(?<!\\)[|()\[\]]")  # alternation/grouping/class
+
+
+def _literal_runs(segment: str) -> list[str]:
+    """Literal character runs REQUIRED by a regex segment (conservative).
+
+    The segment must be free of unescaped grouping/alternation/class syntax
+    (else nothing in it is provably required → empty). Quantifiers make the
+    preceding char optional: it is dropped from its run. ``\\X`` where X is
+    alphanumeric is a class escape (\\d, \\w, \\s...) and breaks the run;
+    other escapes contribute X itself as a literal.
+    """
+    if _UNSAFE_SEG.search(segment):
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i = 0
+    while i < len(segment):
+        ch = segment[i]
+        if ch == "\\" and i + 1 < len(segment):
+            nxt = segment[i + 1]
+            if nxt.isalnum():
+                flush()  # class escape — matches variable text
+            else:
+                cur.append(nxt)
+            i += 2
+            continue
+        if ch in "*+?{":
+            if cur:
+                cur.pop()  # the quantified char is optional/repeated
+            flush()
+            if ch == "{":
+                end = segment.find("}", i)
+                i = end if end != -1 else i
+            i += 1
+            continue
+        if ch in _REGEX_META:
+            flush()
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    flush()
+    return [r for r in runs if r]
+
+
+def pushdown_filter(text_col: Column | str, pattern: GrokPattern) -> Column:
+    """Scan-level pre-filter for grok extraction over PARSED log records:
+    a page whose raw text lacks the pattern's whitespace-free literal token
+    cannot yield a matching record, so it can be dropped before the parse
+    UDF ever sees it. Pages containing a quote char are always kept — csv
+    quote-stripping may splice a token that raw contains() cannot see
+    (``"Error"Code`` parses to ``ErrorCode``). Returns lit(True) when the
+    pattern carries no usable literal (filter is then a no-op)."""
+    lit = pattern.scan_literal
+    if not lit:
+        return F.lit(True)
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return col.contains(lit) | col.contains('"')
+
 
 class GrokPattern:
     """A compiled grok expression: regex + ordered (field, group-index)."""
@@ -74,6 +141,35 @@ class GrokPattern:
     def group_index(self, field: str) -> int:
         """1-based regex group index of a named field."""
         return self.fields.index(field) + 1
+
+    @property
+    def required_literal(self) -> str:
+        """Longest literal substring every match must contain — the scan-level
+        pre-filter a grok query pushes below opaque UDFs ("" if none).
+
+        Derived conservatively from the literal segments BETWEEN ``%{...}``
+        tokens in the original expression: a segment containing unescaped
+        grouping/alternation/class syntax is discarded entirely (requiredness
+        is unclear), a quantified char is dropped from its run (optional),
+        and escaped metachars (``\\(`` → ``(``) count as their literal char.
+        """
+        best = ""
+        for seg in _GROK_TOKEN.split(self.expression)[:: 3]:  # non-token text
+            for run in _literal_runs(seg):
+                if len(run) > len(best):
+                    best = run
+        return best
+
+    @property
+    def scan_literal(self) -> str:
+        """Longest whitespace-free piece of ``required_literal`` — safe to
+        push onto RAW text upstream of line-coalesce/strip/join parsing
+        (those transforms insert/remove only whitespace between lines, so a
+        whitespace-free token in any parsed field appears contiguously in
+        the raw text; csv quote-stripping is the one exception — callers
+        must OR the filter with ``contains('"')``, see pushdown_filter)."""
+        pieces = re.split(r"\s+", self.required_literal)
+        return max(pieces, key=len) if pieces else ""
 
 
 def grok_extract_all_jvm(col: Column | str, pattern: GrokPattern, field: str) -> Column:

@@ -1,8 +1,16 @@
 """Grok compiler: JVM path == vectorized path == pure-Python match."""
 
+import re
+
 import pytest
 
-from logagg.grok import GrokPattern, grok_extract_jvm, grok_extract_vectorized
+from logagg.grok import (
+    GrokPattern,
+    _literal_runs,
+    grok_extract_jvm,
+    grok_extract_vectorized,
+    pushdown_filter,
+)
 
 LINE_PATTERN = (
     "^%{LOGLEVEL:severity}\\s*\\| %{DATA:jvm} \\| %{TIMESTAMP_SLASH:ts} \\| "
@@ -25,6 +33,72 @@ def test_compile_and_match():
     assert p.match("no grok here") is None
     with pytest.raises(KeyError):
         GrokPattern("%{NOSUCH:x}")
+
+
+def test_required_literal_extraction():
+    """required_literal must be provably contained in EVERY match."""
+    cases = {
+        r"ErrorCode = %{INT:code} for %{PATH:err_path}": "ErrorCode = ",
+        r"at %{JAVACLASS:cls}\(%{JAVAFILE:jfile}:%{INT:lineno}\)": "at ",
+        # alternation token: the branch literals are NOT required
+        r"%{LOGLEVEL:sev} happened": " happened",
+        r"%{WORD:w}": "",
+    }
+    for expr, want in cases.items():
+        p = GrokPattern(expr)
+        assert p.required_literal == want, expr
+        # the invariant itself: every matching string contains the literal
+        if want:
+            rx = re.compile(p.regex)
+            for probe in (
+                "ErrorCode = 17 for /a/b",
+                "at com.x.Y(Z.java:3)",
+                "INFO happened",
+            ):
+                if rx.search(probe):
+                    assert want in probe
+    # scan_literal is whitespace-free (joiner-safe for raw-text pushdown)
+    p = GrokPattern(r"ErrorCode = %{INT:code} for %{PATH:err_path}")
+    assert p.scan_literal == "ErrorCode"
+    assert not re.search(r"\s", p.scan_literal)
+
+
+def test_literal_runs_conservative():
+    assert _literal_runs(r"abc\d+def") == ["abc", "def"]
+    assert _literal_runs(r"a|b") == []  # alternation → nothing required
+    assert _literal_runs(r"(ab)c") == []  # grouping → bail out
+    assert _literal_runs(r"xy?z") == ["x", "z"]  # quantified char optional
+    assert _literal_runs(r"foo\(bar\)") == ["foo(bar)"]  # escaped metachars
+    assert _literal_runs(r"a{2,3}b") == ["b"]
+
+
+def test_pushdown_filter_never_drops_matching_pages(spark, pages_cache):
+    """The scan-level pre-filter is conservative: grok extraction over the
+    FILTERED pages equals extraction over ALL pages (same matches), and the
+    filter actually prunes (most pages lack the literal)."""
+    from logagg import parse
+    from pyspark.sql import functions as F
+
+    pat = GrokPattern(r"ErrorCode = %{INT:code} for %{PATH:err_path}")
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    filtered = pages.filter(pushdown_filter("text", pat))
+    assert 0 < filtered.count() < pages.count()
+
+    def matches(src):
+        parsed = parse.parsed_records(src, columns=["record_idx", "message"])
+        out = grok_extract_vectorized(
+            parsed.select("url", "record_idx", "message"), "message", pat
+        )
+        rows = out.filter(F.col("code") != "").collect()
+        return {(r["url"], r["record_idx"], r["code"], r["err_path"]) for r in rows}
+
+    assert matches(filtered) == matches(pages)
+
+
+def test_pushdown_filter_no_literal_is_noop(spark, pages_cache):
+    pat = GrokPattern(r"%{WORD:w}")
+    pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
+    assert pages.filter(pushdown_filter("text", pat)).count() == pages.count()
 
 
 def test_jvm_and_vectorized_agree(spark, pages_cache):

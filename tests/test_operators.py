@@ -74,3 +74,24 @@ def test_salted_join_equals_plain_join(spark, pages_cache):
     )
     as_map = lambda rows: {r["geo"]: r["count"] for r in rows}  # noqa: E731
     assert as_map(plain) == as_map(salted)
+
+
+def test_salted_join_salt_is_deterministic(spark, pages_cache):
+    """The salt is a join key: it must be recompute-stable. A task replayed
+    after a shuffle-fetch failure re-evaluates the salt expression — an
+    ordinal (monotonically_increasing_id) yields different salts on replay,
+    silently duplicating/dropping join rows at cluster scale."""
+    from logagg import enrich as en
+
+    host_geo, _ = en.load_lookups(spark, pages_cache)
+    parsed = _parsed(spark, pages_cache)
+    joined = aggregate.salted_join(
+        parsed, host_geo, key="host", salt_cols=["url", "record_idx"]
+    )
+    plan = joined._jdf.queryExecution().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "xxhash64" in plan
+    # content-hash salt ⇒ two independent evaluations agree row-for-row
+    a = joined.groupBy("geo").count().collect()
+    b = joined.groupBy("geo").count().collect()
+    assert {r["geo"]: r["count"] for r in a} == {r["geo"]: r["count"] for r in b}

@@ -35,19 +35,36 @@ CHECKS = {
     "tpch_q1": {
         "want": [r"PushedFilters: \[.*LessThanOrEqual", r"partial_sum"],
     },
-    "point_lookup_url": {"want": [r"MapInPandas|ArrowEvalPython"]},
-    "sink_agg_hourly": {"want": [r"HashAggregate", r"partial_count|partial_sum"]},
+    "point_lookup_url": {
+        "want": [r"MapInPandas|ArrowEvalPython"],
+        "must_not": [r"extracted_text"],  # hand-pruned through the parse UDF
+    },
+    "sink_agg_hourly": {
+        "want": [r"HashAggregate", r"partial_count|partial_sum"],
+        "must_not": [r"extracted_text", r"ReadSchema:.*html"],
+    },
+    "find_node_sorted": {"must_not": [r"extracted_text", r"ReadSchema:.*html"]},
+    "host_agg_salted": {"must_not": [r"extracted_text", r"ReadSchema:.*html"]},
+    "route_counts": {"must_not": [r"extracted_text", r"ReadSchema:.*html"]},
+    "enrich_geo_salted_join": {
+        "want": [r"xxhash64"],  # deterministic salt, never an ordinal
+        "must_not": [r"monotonically_increasing_id", r"extracted_text"],
+    },
     # deepest join tree: all three dims must broadcast; only the
     # lineitem⋈orders fact join may shuffle
     "tpch_q9_profit": {
         "want": [r"BroadcastHashJoin", r"partial_sum"],
         "must_not": [r"CartesianProduct"],
     },
-    # vectorized grok: column pruning must reach the scan (message only
-    # needs the parse output, but html must not be read)
+    # vectorized grok: column pruning must reach the scan (html must not be
+    # read), and the pattern-derived literal pre-filter must sit ON the
+    # pages scan — below the parse UDF — as a pushed parquet filter
     "grok_error_codes": {
-        "want": [r"MapInPandas|ArrowEvalPython"],
-        "must_not": [r"ReadSchema:.*html"],
+        "want": [
+            r"MapInPandas|ArrowEvalPython",
+            r"PushedFilters: \[.*StringContains\(text,ErrorCode\)",
+        ],
+        "must_not": [r"ReadSchema:.*html", r"extracted_text"],
     },
 }
 
