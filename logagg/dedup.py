@@ -230,49 +230,98 @@ def dup_clusters(
     text_col: str = "text",
     pairs: DataFrame | None = None,
     max_iters: int = 20,
+    n_docs: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup pairs → per-doc
     cluster id (the lexicographically smallest url in the component — the
     canonical "keeper" a training pipeline retains).
 
-    Iterative min-label propagation on the PAIR list, not the corpus: the
-    edge set is the dedup output (orders of magnitude smaller than the
-    corpus), so each iteration is a small join; dup clusters are near-
-    cliques, so convergence is 1-3 iterations. Labels are materialized per
-    iteration (bounded by 2·|pairs|) — the cluster-scale variant keeps them
-    distributed and checkpoints per iteration instead.
+    Fully distributed: labels live in a DataFrame for the whole run — no
+    per-iteration driver materialization, so a dup-heavy 100 TB corpus with
+    billions of pair endpoints never has to fit the driver. Each iteration
+    combines min-label propagation over the edge list with pointer doubling
+    (label := label's current label), so iterations needed are O(log
+    diameter), not O(diameter) — a 40-hop near-dup chain converges in ~6
+    rounds. Per-iteration state is checkpointed to parquet (``checkpoint_
+    dir``; a temp dir by default — on a cluster pass durable storage), which
+    truncates the iterative join lineage and leaves no cached RDDs behind.
+
+    Convergence is proven, not assumed: the loop exits on a changed-label
+    count of 0; exhausting ``max_iters`` first raises (silently-wrong
+    cluster ids are worse than a crash).
     """
+    import shutil
+    import tempfile
+
     spark = df.sparkSession
     if pairs is None:
-        pairs = jaccard_pairs(df, id_col, text_col)
-    edges = pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")).union(
-        pairs.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
-    )
-    # labels come back to the driver once per iteration anyway (convergence
-    # check) — keep a pandas copy so each iteration is ONE Spark action
-    labels_pdf = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).toPandas()
-    for _ in range(max_iters):
-        labels = spark.createDataFrame(labels_pdf, "id string, label string")
-        nbr = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
+        pairs = jaccard_pairs(df, id_col, text_col, n_docs=n_docs)
+    owns_tmp = checkpoint_dir is None
+    tmp = checkpoint_dir or tempfile.mkdtemp(prefix="logagg-cc-")
+    try:
+        edges_path = f"{tmp}/edges"
+        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")).union(
+            pairs.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+        ).write.mode("overwrite").parquet(edges_path)
+        edges = spark.read.parquet(edges_path)
+
+        label_paths = (f"{tmp}/labels0", f"{tmp}/labels1")
+        edges.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        ).write.mode("overwrite").parquet(label_paths[0])
+        labels = spark.read.parquet(label_paths[0])
+
+        converged = False
+        for it in range(max_iters):
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            stepped = labels.join(nbr, "id", "left").select(
+                "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+            )
+            # pointer doubling: jump to the label's own current label
+            hop = labels.select(
+                F.col("id").alias("_hid"), F.col("label").alias("_hlabel")
+            )
+            doubled = stepped.join(
+                hop, stepped["label"] == hop["_hid"], "left"
+            ).select(
+                "id", F.least("label", F.coalesce("_hlabel", "label")).alias("label")
+            )
+            out_path = label_paths[(it + 1) % 2]
+            doubled.write.mode("overwrite").parquet(out_path)
+            new_labels = spark.read.parquet(out_path)
+            changed = (
+                new_labels.join(
+                    labels.select("id", F.col("label").alias("_old")), "id"
+                )
+                .filter(F.col("label") != F.col("_old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} iterations "
+                "(component diameter too large?) — refusing to return "
+                "possibly-wrong cluster ids"
+            )
+        result = labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster")
         )
-        new_pdf = (
-            labels.join(nbr, labels["id"] == nbr["dst"], "left")
-            .select("id", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"))
-            .toPandas()
-        )
-        old = labels_pdf.sort_values("id").reset_index(drop=True)
-        new = new_pdf.sort_values("id").reset_index(drop=True)
-        labels_pdf = new_pdf
-        if old["label"].equals(new["label"]):
-            break
-    return spark.createDataFrame(labels_pdf, "id string, label string").select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster")
-    )
+        if owns_tmp:
+            # bounded-by-design result (≤ 2·|pairs| rows): pull it off the
+            # temp checkpoint storage so the dir can be removed
+            return materialize_local(result)
+        return result
+    finally:
+        if owns_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------- SimHash

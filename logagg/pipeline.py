@@ -44,9 +44,24 @@ def run_pipeline(spark: SparkSession, sf_dir: str, outdir: str) -> dict:
     part_files = sorted(str(p) for p in Path(pages_path).glob("*.parquet"))
     n_buckets = min(8, max(1, len(part_files)))
     file_buckets = [part_files[b::n_buckets] for b in range(n_buckets)]
-    # the input FILE LIST is part of the lineage fingerprint: a changed
-    # list silently remaps files to buckets, so every bucket must rerun
-    fp = _fingerprint("v2", pages_path, synth.GEN_VERSION, len(part_files))
+    # the input FILE LIST (the sorted names, not just its length) is part of
+    # the lineage fingerprint: a renamed/replaced file with the same count
+    # would otherwise silently remap files to buckets without invalidating
+    # the per-bucket markers
+    fp = _fingerprint("v3", pages_path, synth.GEN_VERSION, part_files)
+
+    # a rerun with fewer buckets (input shrank) overwrites only bucket dirs
+    # < n_buckets; stale bucket=<b>/ dirs from a wider previous layout would
+    # silently feed duplicate rows to stage 2 — drop them before running
+    import shutil
+
+    for stale in Path(parsed_path).glob("bucket=*"):
+        try:
+            b = int(stale.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b >= n_buckets:
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _parse_bucket(b: int) -> dict:
         pages = spark.read.parquet(*file_buckets[b])

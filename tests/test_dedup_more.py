@@ -70,3 +70,47 @@ def test_parse_from_html_equals_text_path(spark, pages_cache):
     via_text = parse.parse_pages(pages).orderBy("url", "record_idx").collect()
     via_html = parse.parse_pages(pages, source="html").orderBy("url", "record_idx").collect()
     assert via_text == via_html and len(via_text) > 1000
+
+
+def _chain_pairs(spark, n: int):
+    """A diameter-(n-1) chain d000~d001~...~d{n-1} as a near-dup pair list."""
+    ids = [f"d{i:03d}" for i in range(n)]
+    rows = [(ids[i], ids[i + 1], 1, 1, 1) for i in range(n - 1)]
+    return spark.createDataFrame(
+        rows, "url_a string, url_b string, shared long, na long, nb long"
+    )
+
+
+def test_dup_clusters_chain_converges_logarithmically(spark):
+    """A 50-hop chain (diameter 49) must collapse to ONE cluster within the
+    default max_iters=20 — only possible with pointer doubling (plain
+    min-label propagation needs 49 iterations and would raise). Also proves
+    the distributed path: labels never ride through the driver (no pandas
+    round-trip to observe), and no cached RDDs are left behind."""
+    from logagg import dedup
+
+    jvm_sc = spark.sparkContext._jsc.sc()
+    before = jvm_sc.getPersistentRDDs().size()
+    out = dedup.dup_clusters(
+        spark.range(0).selectExpr("'x' as url", "'y' as text"),  # unused: pairs given
+        pairs=_chain_pairs(spark, 50),
+    ).collect()
+    assert jvm_sc.getPersistentRDDs().size() == before
+    assert len(out) == 50
+    assert {r["cluster"] for r in out} == {"d000"}  # component min is the keeper
+
+
+def test_dup_clusters_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_iters without a fixed point must raise, never return
+    silently-wrong cluster ids (ADVICE r2: a chain with diameter > iters
+    yields labels that are not the component minimum)."""
+    import pytest
+
+    from logagg import dedup
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dup_clusters(
+            spark.range(0).selectExpr("'x' as url", "'y' as text"),
+            pairs=_chain_pairs(spark, 40),
+            max_iters=1,
+        )

@@ -115,3 +115,41 @@ def test_pipeline_resumes_mid_stage(spark, tmp_path):
     assert unchanged == set(before) - {victim.name}  # only the victim re-ran
     assert second["parse"]["rows"] == first["parse"]["rows"]
     assert second["route"]["rows"] == first["route"]["rows"]
+
+
+def test_pipeline_drops_stale_bucket_dirs(spark, tmp_path):
+    """A rerun whose bucket layout shrank must not let old bucket=<b>/ dirs
+    (b >= n_buckets) survive into stage 2's scan — that silently feeds
+    duplicate/stale rows downstream (ADVICE r2)."""
+    out = tmp_path / "out"
+    run_pipeline(spark, SF_SMOKE, str(out))
+    parsed = out / "parsed"
+    n_real = len(list(parsed.glob("bucket=*")))
+    # forge a stale dir from a hypothetical wider previous layout, with a
+    # parquet file stage 2 would otherwise pick up
+    stale = parsed / f"bucket={n_real + 3}"
+    src = next((parsed / "bucket=0").glob("*.parquet"))
+    stale.mkdir()
+    (stale / src.name).write_bytes(src.read_bytes())
+    # invalidate markers so the parse stage actually reruns
+    for m in (out / "_meta").glob("parse*.json"):
+        m.unlink()
+    results = run_pipeline(spark, SF_SMOKE, str(out))
+    assert not stale.exists()
+    import pyarrow.parquet as pq
+
+    from logagg import synth
+
+    cache = synth.ensure_cache(SF_SMOKE)
+    n_expected = pq.read_metadata(cache / "expected_parsed.parquet").num_rows
+    assert results["route"]["rows"] == n_expected  # no duplicate rows downstream
+
+
+def test_pipeline_fingerprint_tracks_file_names(spark, tmp_path):
+    """Same file COUNT but different file NAMES must invalidate the parse
+    markers (a renamed/replaced input remaps files to buckets)."""
+    from logagg import pipeline as pl
+
+    fp_a = pl._fingerprint("v3", "p", 1, ["a.parquet", "b.parquet"])
+    fp_b = pl._fingerprint("v3", "p", 1, ["a.parquet", "c.parquet"])
+    assert fp_a != fp_b
