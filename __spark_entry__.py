@@ -261,8 +261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["user_sessions"] = _user_sessions
     q["purchases_asof_signup"] = _purchases_asof_signup
-    # sketch aggregates (HLL / KLL): no exact oracle by construction —
-    # tolerance-tested vs exact in tests/test_approx.py, rows-only here.
+    # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
+    # explicit verification ceiling (COVERAGE.md "sketch verification"):
+    # register layouts are engine-specific, so no cross-engine value oracle
+    # can exist; accuracy is tolerance-tested vs exact in
+    # tests/test_approx.py, and events_exact_stats below is the fully
+    # value-oracled exact twin of this query's shape.
     # Quantiles come out as scalar columns (element_at over the sketch
     # result): the driver canonicalization hashes cell values and cannot
     # sort/factorize an array column.
@@ -281,6 +285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.element_at("_q", 3), 6).alias("q99"),
         )
     )
+    # exact twin of events_approx_stats: value-oracled end to end. Exact
+    # distinct + type-1 (inverted-CDF) quantiles picked by RANK — the
+    # quantile is a member of the dataset, no interpolation arithmetic, so
+    # the result is engine-portable bit-for-bit. Scale pairing: this is the
+    # oracle/audit path (one sort-shuffle per event_type partition); the
+    # sketch query above is the 100 TB path (mergeable registers, no sort).
+    q["events_exact_stats"] = _events_exact_stats
     q["events_pivot"] = lambda spark, sf: (
         _tbl(spark, sf, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -438,6 +449,37 @@ def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
         )
+    )
+
+
+def _events_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-type stats: distinct users + type-1 quantiles by rank.
+
+    rank r(p) = ceil(p·n) over (value, event_id)-ordered rows; the picked
+    value is an actual dataset member (no interpolation), so Spark and
+    DuckDB agree exactly (both compute ceil(p·n) on identical IEEE doubles).
+    """
+    events = _tbl(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    counts = events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users")
+    )
+    ranked = (
+        events.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+    )
+
+    def pick(p: float, name: str):
+        at = F.ceil(F.lit(p) * F.col("n"))
+        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(name)
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("n_users").alias("n_users"),
+        pick(0.5, "q50"),
+        pick(0.95, "q95"),
+        pick(0.99, "q99"),
     )
 
 
@@ -666,8 +708,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
             "AS prev_us FROM events) GROUP BY user_id"
         ),
+        "events_exact_stats": (
+            "WITH counts AS (SELECT event_type, count(*) AS n, "
+            "count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type), "
+            "ranked AS (SELECT event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events) "
+            "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
+            "CAST(max(n_users) AS BIGINT) AS n_users, "
+            "max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS q50, "
+            "max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS q95, "
+            "max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS q99 "
+            "FROM ranked JOIN counts USING (event_type) GROUP BY event_type"
+        ),
         # no oracle (sketch aggregates have no exact cross-engine value):
-        # events_approx_stats — tolerance-tested in tests/test_approx.py
+        # events_approx_stats — rows-only BY CONSTRUCTION (the documented
+        # verification ceiling, COVERAGE.md); accuracy tolerance-tested in
+        # tests/test_approx.py; exact twin events_exact_stats above is
+        # fully value-oracled.
     }
 
 

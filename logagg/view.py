@@ -47,6 +47,56 @@ def render_lines(df: DataFrame) -> DataFrame:
     return df.select("url", "record_idx", row_line_col(df).alias("line"))
 
 
+def get_record(parsed: DataFrame, rec_id: str | None):
+    """Point lookup by surrogate id ``url#record_idx`` — the reference's
+    ``get_log`` contract (aggregator/db.py:90-110): a None id raises
+    (the reference's ValidationError path — never a silent empty result),
+    a well-formed but ABSENT id returns None (a logged miss, not an error).
+    Returns the single matching Row otherwise."""
+    if rec_id is None:
+        raise ValueError("Cannot get None log")
+    url, _, idx = rec_id.rpartition("#")
+    rows = (
+        parsed.filter((F.col("url") == url) & (F.col("record_idx") == int(idx)))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def _py_cell(v) -> str:
+    return "None" if v is None else str(v)
+
+
+def row_line(r) -> str:
+    """Driver-side render of ONE Row — byte-identical to row_line_col
+    (differentially tested) for results already collected."""
+    ts = r["datetime"].strftime("%Y-%m-%d %H:%M:%S")
+    rid = f"{r['url']}#{r['record_idx']}"
+    parts = [
+        rid,
+        _py_cell(r["node"]),
+        _py_cell(r["severity"]),
+        _py_cell(r["jvm"]),
+        ts,
+        _py_cell(r["source"]),
+        _py_cell(r["type"]),
+        _py_cell(r["message"]),
+    ]
+    return "| " + "\t| ".join(parts) + "\t|"
+
+
+def render_result(result, limit: int = 1000) -> str | None:
+    """``display_result`` input-shape tolerance (aggregator/view.py:22-37):
+    ``None`` → None (display nothing, not an error); a single collected Row
+    → a one-record table; a DataFrame → the full render."""
+    if result is None:
+        return None
+    if isinstance(result, DataFrame):
+        return render_text(result, limit)
+    return "\n".join([HEADER, row_line(result)]) + "\n"
+
+
 def render_text(df: DataFrame, limit: int = 1000) -> str:
     """Driver-side full render (header + ordered lines) — the ``df.show()``
     analog used by tests against the reference's golden bytes."""

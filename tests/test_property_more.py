@@ -84,3 +84,67 @@ def test_grok_compiler_matches_plain_re(lit1, lit2, name1, name2, subject):
         assert got is None
     else:
         assert got == {"f1": m.group(1), "f2": m.group(2)}
+
+
+# ---- url-meta expressions vs a pure-Python re oracle --------------------
+# The reference Hypothesis-tests its filename→dir derivation
+# (tests/test_helper.py:197-207); the analog here is the url→node/log_type/
+# host JVM regexes (schemas.py), fuzzed against Python re over adversarial
+# url shapes: missing segments, ports, empty hosts, trailing junk,
+# uppercase schemes, stray slashes.
+
+_URL_CHARS = "abcz09.:-_~%# /ABZ"
+
+_segment = st.text(alphabet=_URL_CHARS.replace("/", ""), min_size=0, max_size=6)
+_urls = st.lists(
+    st.one_of(
+        # structured: scheme://host/seg/seg... with shape mutations
+        st.builds(
+            lambda scheme, sep, host, segs, trail: scheme + sep + host + (
+                ("/" + "/".join(segs)) if segs else ""
+            ) + trail,
+            st.sampled_from(["http", "https", "HTTP", "ftp", "x", ""]),
+            st.sampled_from(["://", ":/", "//", ""]),
+            st.one_of(_segment, st.just("h.example.com:8443")),
+            st.lists(_segment, min_size=0, max_size=4),
+            st.sampled_from(["", "/", "//"]),
+        ),
+        # unstructured noise
+        st.text(alphabet=_URL_CHARS, min_size=0, max_size=40),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_regexp_extract(pattern: str, s: str) -> str:
+    """regexp_extract contract in Python re: '' on no match (and '' for an
+    unparticipating group)."""
+    import re as _re
+
+    m = _re.search(pattern, s)
+    if m is None:
+        return ""
+    return m.group(1) or ""
+
+
+@settings(max_examples=30, deadline=None)
+@given(urls=_urls)
+def test_url_meta_matches_python_re(_spark, urls):
+    from logagg.schemas import HOST_RE, LOGTYPE_RE, NODE_RE
+
+    spark = _spark
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from logagg.parse import with_url_meta
+
+    got = {
+        r["url"]: (r["node"], r["log_type"], r["host"])
+        for r in with_url_meta(df).collect()
+    }
+    for u in set(urls):
+        want = (
+            _py_regexp_extract(NODE_RE, u),
+            _py_regexp_extract(LOGTYPE_RE, u),
+            _py_regexp_extract(HOST_RE, u),
+        )
+        assert got[u] == want, repr(u)
