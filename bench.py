@@ -220,7 +220,7 @@ def hw_inflation_probe() -> dict:
     }
 
 
-def _one_worker(n: int, sf_dir: str) -> dict:
+def _one_worker(n: int, sf_dir: str, replicate: int | None = None) -> dict:
     """Run the pipeline in a fresh JVM pinned to exactly n CPUs.
 
     taskset emulates what a cluster gives an executor: local[n] without
@@ -235,7 +235,7 @@ def _one_worker(n: int, sf_dir: str) -> dict:
         "--scaling-worker",
         f"--master=local[{n}]",
         f"--sf-dir={sf_dir}",
-        f"--replicate={REPLICATE}",
+        f"--replicate={replicate if replicate is not None else REPLICATE}",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -247,22 +247,59 @@ def _one_worker(n: int, sf_dir: str) -> dict:
 SCALING_CONFIGS = (1, 2, 4, 8, 16)
 
 
+# second work size per rung for the floor model: elapsed = floor + rep·w
+# (two replicate levels solve for the fixed per-job floor — AQE planning,
+# broadcast build, stage barriers, final-agg+collect — per rung, measured
+# instead of asserted)
+FLOOR_REPLICATE = max(1, REPLICATE // 4)
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Strong-scaling ladder, each config pinned to exactly its core count
     (the cluster-executor contract: 4N executors own 4N cores), measured at
     steady state (identical-plan warm pass first — see scaling_worker).
     Efficiency is reported for every N→4N pair; the headline pair is 1→4,
     where both ends run long enough to amortize the fixed per-job floor
-    (AQE planning, broadcast build, stage barriers, final-agg + collect
-    ≈ 2-3 s) that dominates 5-second jobs at high N but is noise on
-    hour-scale production runs. Repeats interleave configs; per-config best
-    is kept (tenant-shared box: identical runs swing 2×)."""
+    that dominates 5-second jobs at high N but is noise on hour-scale
+    production runs. Repeats interleave configs; per-config best is kept
+    (tenant-shared box: identical runs swing 2×).
+
+    FLOOR ATTRIBUTION (all measured, in-artifact): every rung also runs the
+    identical job at FLOOR_REPLICATE (¼ the work). With elapsed = floor +
+    rep·w, the two points solve for the rung's fixed floor and the marginal
+    per-record cost — so the artifact itself shows how much of any high-rung
+    efficiency loss is the amortizable per-job constant vs real per-record
+    inflation. ``efficiency_floor_adjusted`` compares work time (elapsed −
+    floor); ``cpu_us_per_record_marginal`` applies the same two-point model
+    to the /proc CPU ledger (Δcpu/Δrecords), isolating per-record CPU from
+    fixed startup CPU (JIT residue, planning) that wall-noise can't touch.
+    """
     runs: dict[int, list[dict]] = {n: [] for n in SCALING_CONFIGS}
+    floor_runs: dict[int, list[dict]] = {n: [] for n in SCALING_CONFIGS}
     for _ in range(SCALING_RUNS):
         for n in SCALING_CONFIGS:
             runs[n].append(_one_worker(n, sf_dir))
+        for n in SCALING_CONFIGS:
+            floor_runs[n].append(_one_worker(n, sf_dir, replicate=FLOOR_REPLICATE))
     best = {n: min(rs, key=lambda r: r["elapsed"]) for n, rs in runs.items()}
+    best_f = {n: min(rs, key=lambda r: r["elapsed"]) for n, rs in floor_runs.items()}
     rate = {n: best[n]["records"] / best[n]["elapsed"] for n in SCALING_CONFIGS}
+
+    R, r_ = float(REPLICATE), float(FLOOR_REPLICATE)
+    floor: dict[int, float] = {}
+    work: dict[int, float] = {}
+    cpu_marginal: dict[int, float | None] = {}
+    for n in SCALING_CONFIGS:
+        e_full, e_small = best[n]["elapsed"], best_f[n]["elapsed"]
+        f = (e_small * R - e_full * r_) / (R - r_)
+        floor[n] = max(0.0, f)
+        work[n] = max(1e-9, e_full - floor[n])
+        c_full, c_small = best[n].get("cpu_seconds"), best_f[n].get("cpu_seconds")
+        rec_full, rec_small = best[n]["records"], best_f[n]["records"]
+        if c_full and c_small and rec_full > rec_small:
+            cpu_marginal[n] = round(1e6 * (c_full - c_small) / (rec_full - rec_small), 1)
+        else:
+            cpu_marginal[n] = None
 
     def _pair(lo: int, hi: int) -> dict:
         return {
@@ -273,6 +310,7 @@ def run_scaling(sf_dir: str) -> dict:
             "elapsed_lo": round(best[lo]["elapsed"], 2),
             "elapsed_hi": round(best[hi]["elapsed"], 2),
             "efficiency": round((rate[hi] / rate[lo]) / (hi / lo), 3),
+            "efficiency_floor_adjusted": round((work[lo] / work[hi]) / (hi / lo), 3),
         }
 
     pairs = [_pair(lo, lo * 4) for lo in (1, 2, 4)]
@@ -296,10 +334,21 @@ def run_scaling(sf_dir: str) -> dict:
                     if best[n].get("cpu_seconds")
                     else None
                 ),
+                "cpu_us_per_record_marginal": cpu_marginal[n],
+                "floor_sec": round(floor[n], 2),
+                "work_sec": round(work[n], 2),
+                "floor_elapsed_small": round(best_f[n]["elapsed"], 2),
             }
             for n in SCALING_CONFIGS
         },
+        "floor_model": {
+            "replicates": [REPLICATE, FLOOR_REPLICATE],
+            "note": "elapsed = floor + rep*w solved per rung from the two work sizes",
+        },
         "all_elapsed": {str(n): [round(r["elapsed"], 2) for r in runs[n]] for n in SCALING_CONFIGS},
+        "all_elapsed_small": {
+            str(n): [round(r["elapsed"], 2) for r in floor_runs[n]] for n in SCALING_CONFIGS
+        },
         "records": best[SCALING_CONFIGS[-1]]["records"],
         "hw_probe": hw_inflation_probe(),
     }
@@ -368,25 +417,44 @@ def write_bench_md(result: dict) -> None:
         "10^12-row production job amortizes to nothing), then the timed",
         f"pass. Best of {SCALING_RUNS} interleaved runs per rung:",
         "",
-        "| cores (pinned) | elapsed (s) | rows/sec | cpu-sec | jvm | py | avg parallelism | cpu µs/record |",
-        "|---|---|---|---|---|---|---|---|",
+        "| cores (pinned) | elapsed (s) | rows/sec | cpu-sec | jvm | py | avg parallelism | cpu µs/record | µs/record (marginal) | floor (s) | work (s) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for n, row in s["ladder"].items():
         lines.append(
             f"| {n} | {row['elapsed']} | {row['rows_per_sec']:,} | "
             f"{row['cpu_seconds']} | {row['cpu_jvm']} | {row['cpu_py']} | "
-            f"{row['avg_parallelism']} | {row['cpu_us_per_record']} |"
+            f"{row['avg_parallelism']} | {row['cpu_us_per_record']} | "
+            f"{row['cpu_us_per_record_marginal']} | {row['floor_sec']} | {row['work_sec']} |"
         )
+    fm = s["floor_model"]
     lines += [
         "",
         f"records per run: {s['records']:,} parsed rows",
         "",
-        "| N→4N pair | wall-clock efficiency = (R_4N/R_N)/4 |",
-        "|---|---|",
+        "### Floor attribution (measured, not asserted)",
+        "",
+        f"Every rung also runs the identical job at replicate={fm['replicates'][1]}",
+        f"(¼ the work); `elapsed = floor + rep·w` solved from the two points",
+        "gives the rung's fixed per-job floor (AQE planning, broadcast build,",
+        "stage barriers, final-agg + collect) and the marginal per-record",
+        "cost. On a production run hours long the floor amortizes to zero, so",
+        "`work`-based efficiency is the cluster-relevant number; the raw",
+        "wall-clock column is reported unretouched beside it. The marginal",
+        "cpu µs/record column is the same two-point model on the /proc CPU",
+        "ledger — if it stays flat up the ladder, per-record CPU does not",
+        "inflate with parallelism and any cpu-µs/record growth in the",
+        "absolute column is fixed startup CPU, not scaling loss.",
+        "",
+        "| N→4N pair | wall-clock efficiency = (R_4N/R_N)/4 | floor-adjusted (work-time) |",
+        "|---|---|---|",
     ]
     for p in s["pairs"]:
         mark = " **(headline)**" if (p["cores_lo"], p["cores_hi"]) == (1, 4) else ""
-        lines.append(f"| {p['cores_lo']}→{p['cores_hi']} | {p['efficiency']}{mark} |")
+        lines.append(
+            f"| {p['cores_lo']}→{p['cores_hi']} | {p['efficiency']}{mark} | "
+            f"{p['efficiency_floor_adjusted']} |"
+        )
     infl = hw["inflation_vs_1core"]
     lines += [
         "",

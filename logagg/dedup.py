@@ -102,7 +102,11 @@ def shingles(
 
 
 def _doc_count(df: DataFrame, n_docs: int | None) -> int:
-    # parquet-metadata count when the plan is a plain scan — cheap either way
+    # cheap (parquet-metadata) only when the plan is a bare scan; a
+    # UDF-backed input re-runs its upstream pipeline for this action, so
+    # callers that know the count (or share it across operators) pass
+    # n_docs explicitly — dup_clusters → jaccard_pairs and
+    # minhash_lsh_dupes → sampled_stop_shingles thread it through
     return df.count() if n_docs is None else n_docs
 
 
