@@ -304,15 +304,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # session-scoped memo of the exact near-dup pair list: dedup_shingle_pairs
 # and dedup_clusters share one computation (the result is a small,
-# locally-materialized DataFrame — see dedup.jaccard_pairs)
-_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+# locally-materialized DataFrame — see dedup.jaccard_pairs). Keyed weakly
+# on the session OBJECT (id() can be recycled after GC, handing a stopped
+# session's DataFrame to a new session); entries die with their session.
+import weakref
+
+_PAIRS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark), sf)
-    if key not in _PAIRS_MEMO:
-        _PAIRS_MEMO[key] = dedup.jaccard_pairs(_pages(spark, sf))
-    return _PAIRS_MEMO[key]
+    per_session = _PAIRS_MEMO.setdefault(spark, {})
+    if sf not in per_session:
+        per_session[sf] = dedup.jaccard_pairs(_pages(spark, sf))
+    return per_session[sf]
 
 
 # compiled grok patterns (single source for the Spark queries AND their
@@ -458,14 +464,18 @@ def _events_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     rank r(p) = ceil(p·n) over (value, event_id)-ordered rows; the picked
     value is an actual dataset member (no interpolation), so Spark and
     DuckDB agree exactly (both compute ceil(p·n) on identical IEEE doubles).
+    NULL values are excluded from the ranking and from n (engines disagree
+    on default NULL sort placement — Spark first, DuckDB last — so ranking
+    over them is not portable); n = count(value), the rank-able population.
     """
     events = _tbl(spark, sf, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     counts = events.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users")
+        F.count("value").alias("n"), F.count_distinct("user_id").alias("n_users")
     )
     ranked = (
-        events.select("event_type", "value", "event_id")
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
         .withColumn("rn", F.row_number().over(w))
         .join(F.broadcast(counts), "event_type")
     )
@@ -709,10 +719,11 @@ def oracle_sql() -> dict[str, str]:
             "AS prev_us FROM events) GROUP BY user_id"
         ),
         "events_exact_stats": (
-            "WITH counts AS (SELECT event_type, count(*) AS n, "
+            "WITH counts AS (SELECT event_type, count(value) AS n, "
             "count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type), "
             "ranked AS (SELECT event_type, value, row_number() OVER ("
-            "PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events) "
+            "PARTITION BY event_type ORDER BY value, event_id) AS rn "
+            "FROM events WHERE value IS NOT NULL) "
             "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
             "CAST(max(n_users) AS BIGINT) AS n_users, "
             "max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS q50, "

@@ -288,12 +288,20 @@ def run_scaling(sf_dir: str) -> dict:
     R, r_ = float(REPLICATE), float(FLOOR_REPLICATE)
     floor: dict[int, float] = {}
     work: dict[int, float] = {}
+    floor_reliable: dict[int, bool] = {}
     cpu_marginal: dict[int, float | None] = {}
     for n in SCALING_CONFIGS:
         e_full, e_small = best[n]["elapsed"], best_f[n]["elapsed"]
-        f = (e_small * R - e_full * r_) / (R - r_)
-        floor[n] = max(0.0, f)
-        work[n] = max(1e-9, e_full - floor[n])
+        # two-point solve needs two distinct work sizes (REPLICATE > 1)
+        f = (e_small * R - e_full * r_) / (R - r_) if R > r_ else 0.0
+        # tenant-noise guard: best-of runs are picked independently per work
+        # size, so a slow quarter-run can push the solved floor toward (or
+        # past) the full elapsed — a floor eating >50% of the job is not a
+        # credible fixed constant; fall back to floor=0 (work = raw elapsed,
+        # adjusted efficiency degenerates to the raw one) and flag it
+        floor_reliable[n] = R > r_ and 0.0 <= f <= 0.5 * e_full
+        floor[n] = f if floor_reliable[n] else 0.0
+        work[n] = e_full - floor[n]
         c_full, c_small = best[n].get("cpu_seconds"), best_f[n].get("cpu_seconds")
         rec_full, rec_small = best[n]["records"], best_f[n]["records"]
         if c_full and c_small and rec_full > rec_small:
@@ -336,6 +344,7 @@ def run_scaling(sf_dir: str) -> dict:
                 ),
                 "cpu_us_per_record_marginal": cpu_marginal[n],
                 "floor_sec": round(floor[n], 2),
+                "floor_reliable": floor_reliable[n],
                 "work_sec": round(work[n], 2),
                 "floor_elapsed_small": round(best_f[n]["elapsed"], 2),
             }
@@ -462,7 +471,7 @@ def write_bench_md(result: dict) -> None:
         "(target ≥ 0.8 per BASELINE.json). The 1→4 pair carries the longest",
         "runs and is least distorted by the per-job floor and tenant noise.",
         "",
-        "### Why these numbers are what they are (measured, round 2)",
+        "### Why these numbers are what they are (measured)",
         "",
         "* **The hardware scales cleanly.** Fixed-work probe (the pipeline's",
         "  own pure-Python parse kernel, same work per worker, pinned): cpu",
@@ -471,7 +480,8 @@ def write_bench_md(result: dict) -> None:
         "  scaling, no bandwidth wall for this workload — so wall-clock",
         "  efficiency losses are the engine/harness's to explain, and the",
         "  round-1 'hardware ceiling' narrative was wrong.",
-        "* **Cold-start costs were the round-1 CPU inflation.** Per-thread",
+        "* **Cold-start costs were the round-1 CPU inflation (diagnosed",
+        "  round 2, stays excluded by design).** Per-thread",
         "  /proc attribution showed (a) each Python daemon fork pays ~1.8 s",
         "  of imports on its first task (15 unwarmed workers ≈ 27 CPU-s",
         "  inside a 16-core timed window), and (b) JIT compiler threads burn",

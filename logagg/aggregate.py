@@ -60,18 +60,24 @@ def salted_join(
     The salt MUST be a deterministic function of row content: a
     recompute-unstable salt (ordinal / monotonically_increasing_id) used as
     a shuffle-join key silently duplicates or drops rows when a task is
-    recomputed after a shuffle-fetch failure at cluster scale. Callers pass
-    ``salt_cols`` — one or two cheap narrow columns that spread the hot key
-    (hashing wide payload strings costs real per-row CPU for no better
-    spread); default is every fact column (always safe, possibly wasteful).
+    recomputed after a shuffle-fetch failure at cluster scale. That forces
+    ``salt_cols`` to be explicit and REQUIRED: the caller must name narrow
+    columns that distinguish rows WITHIN a hot key (e.g. url + record_idx).
+    There is no safe default — hashing every column is wasted per-row CPU
+    on wide payloads AND still collapses exact-duplicate rows (the common
+    log-data skew shape) onto one reducer, silently defeating the salt.
     """
     from pyspark.sql import functions as F
 
+    if not salt_cols:
+        raise ValueError(
+            "salted_join requires salt_cols: narrow columns that vary within "
+            "a hot key (a content hash of identical rows cannot spread them)"
+        )
     salt_values = F.array(*[F.lit(i) for i in range(buckets)])
     dim_rep = dim.withColumn("_salt", F.explode(salt_values))
-    cols = salt_cols if salt_cols is not None else fact.columns
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(buckets)).cast("int")
     )
     return fact_salted.join(dim_rep, [key, "_salt"], "inner").drop("_salt")
 

@@ -41,7 +41,21 @@ GROK_LIBRARY: dict[str, str] = {
 _GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 _REGEX_META = set(".^$*+?()[]{}|")
-_UNSAFE_SEG = re.compile(r"(?<!\\)[|()\[\]]")  # alternation/grouping/class
+
+
+def _has_unescaped(segment: str, chars: str) -> bool:
+    """True if any of ``chars`` appears unescaped in the segment (proper
+    escape-aware scan — a lookbehind regex misreads ``a\\\\|b``, where the
+    backslash is itself escaped and the alternation is real)."""
+    i = 0
+    while i < len(segment):
+        if segment[i] == "\\":
+            i += 2
+            continue
+        if segment[i] in chars:
+            return True
+        i += 1
+    return False
 
 
 def _literal_runs(segment: str) -> list[str]:
@@ -53,7 +67,7 @@ def _literal_runs(segment: str) -> list[str]:
     alphanumeric is a class escape (\\d, \\w, \\s...) and breaks the run;
     other escapes contribute X itself as a literal.
     """
-    if _UNSAFE_SEG.search(segment):
+    if _has_unescaped(segment, "|()[]"):
         return []
     runs: list[str] = []
     cur: list[str] = []
@@ -148,13 +162,18 @@ class GrokPattern:
         pre-filter a grok query pushes below opaque UDFs ("" if none).
 
         Derived conservatively from the literal segments BETWEEN ``%{...}``
-        tokens in the original expression: a segment containing unescaped
-        grouping/alternation/class syntax is discarded entirely (requiredness
-        is unclear), a quantified char is dropped from its run (optional),
-        and escaped metachars (``\\(`` → ``(``) count as their literal char.
+        tokens in the original expression: if ANY segment contains unescaped
+        alternation or grouping syntax, the whole expression yields "" —
+        a top-level ``|`` (or a group spanning segments) means no segment's
+        literal is provably required by every match. Otherwise a quantified
+        char is dropped from its run (optional), and escaped metachars
+        (``\\(`` → ``(``) count as their literal char.
         """
+        segments = _GROK_TOKEN.split(self.expression)[::3]  # non-token text
+        if any(_has_unescaped(seg, "|()[]") for seg in segments):
+            return ""
         best = ""
-        for seg in _GROK_TOKEN.split(self.expression)[:: 3]:  # non-token text
+        for seg in segments:
             for run in _literal_runs(seg):
                 if len(run) > len(best):
                     best = run

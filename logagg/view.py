@@ -55,7 +55,11 @@ def get_record(parsed: DataFrame, rec_id: str | None):
     Returns the single matching Row otherwise."""
     if rec_id is None:
         raise ValueError("Cannot get None log")
-    url, _, idx = rec_id.rpartition("#")
+    url, sep, idx = rec_id.rpartition("#")
+    if not sep or not idx.isdigit():
+        # malformed id is the same contract branch as None (the reference's
+        # ObjectId validation rejects malformed ids before the query runs)
+        raise ValueError(f"malformed record id: {rec_id!r}")
     rows = (
         parsed.filter((F.col("url") == url) & (F.col("record_idx") == int(idx)))
         .limit(1)

@@ -31,3 +31,42 @@ def test_approx_stats_within_tolerance(spark):
         assert abs(users - ex_users) <= max(2, 0.05 * ex_users)  # HLL ~2% rsd
         assert abs(quantiles[0] - p50) <= max(0.5, 0.1 * p50)
         assert abs(quantiles[1] - p95) <= max(0.5, 0.1 * p95)
+
+
+def test_events_exact_stats_null_values_portable(spark, tmp_path):
+    """The rank-quantile twin must stay engine-portable when `value` has
+    NULLs: engines disagree on default NULL sort placement (Spark first,
+    DuckDB last), so NULLs are excluded from ranking and n = count(value)
+    on both sides — verified differentially on a corpus WITH nulls."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(40),
+            "user_id": [i % 7 for i in range(40)],
+            "event_type": ["click" if i % 2 else "view" for i in range(40)],
+            "ts": pd.Series([pd.Timestamp(2024, 1, 1)] * 40, dtype="datetime64[us]"),
+            "value": [None if i % 5 == 0 else float(i) * 1.5 for i in range(40)],
+        }
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf_dir / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n"], r["n_users"], r["q50"], r["q95"], r["q99"])
+        for r in entrymod._events_exact_stats(spark, str(sf_dir)).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pdf)
+    sql = entrymod.oracle_sql()["events_exact_stats"]
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == exp
+    # sanity: NULLs excluded — n is the non-null count, not the row count
+    assert all(n < 20 for n, *_ in got.values())

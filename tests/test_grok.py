@@ -61,6 +61,13 @@ def test_required_literal_extraction():
     p = GrokPattern(r"ErrorCode = %{INT:code} for %{PATH:err_path}")
     assert p.scan_literal == "ErrorCode"
     assert not re.search(r"\s", p.scan_literal)
+    # a top-level alternation in ANY segment voids every segment's literal:
+    # '9 bar' matches but contains neither 'foo ' nor ' bar'
+    assert GrokPattern(r"foo %{INT:x}|%{INT:y} bar").required_literal == ""
+    # escaped-backslash-then-pipe is a REAL alternation ('a\' | 'b ...')
+    assert GrokPattern(r"a\\|b %{INT:x}").required_literal == ""
+    # ...but an escaped pipe is a literal and keeps the segment safe
+    assert GrokPattern(r"a\|b %{INT:x}").required_literal == "a|b "
 
 
 def test_literal_runs_conservative():

@@ -67,7 +67,9 @@ def test_salted_join_equals_plain_join(spark, pages_cache):
         parsed.join(host_geo, "host", "inner").groupBy("geo").count().collect()
     )
     salted = (
-        aggregate.salted_join(parsed, host_geo, key="host")
+        aggregate.salted_join(
+            parsed, host_geo, key="host", salt_cols=["url", "record_idx"]
+        )
         .groupBy("geo")
         .count()
         .collect()
@@ -91,6 +93,12 @@ def test_salted_join_salt_is_deterministic(spark, pages_cache):
     plan = joined._jdf.queryExecution().toString()
     assert "monotonically_increasing_id" not in plan
     assert "xxhash64" in plan
+    # salt_cols is REQUIRED: a hash of identical rows can't spread a hot key
+    # whose rows are duplicates, so there is no safe default
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_cols"):
+        aggregate.salted_join(parsed, host_geo, key="host")
     # content-hash salt ⇒ two independent evaluations agree row-for-row
     a = joined.groupBy("geo").count().collect()
     b = joined.groupBy("geo").count().collect()

@@ -131,8 +131,10 @@ def test_pipeline_drops_stale_bucket_dirs(spark, tmp_path):
     src = next((parsed / "bucket=0").glob("*.parquet"))
     stale.mkdir()
     (stale / src.name).write_bytes(src.read_bytes())
-    # invalidate markers so the parse stage actually reruns
-    for m in (out / "_meta").glob("parse*.json"):
+    # invalidate ALL markers so every stage actually reruns — with only the
+    # parse markers gone, route would be replayed from its old marker and
+    # the downstream row-count assert below would be vacuous
+    for m in (out / "_meta").glob("*.json"):
         m.unlink()
     results = run_pipeline(spark, SF_SMOKE, str(out))
     assert not stale.exists()

@@ -73,6 +73,11 @@ def test_get_record_null_id_contract(spark):
     df = _one_record_df(spark)
     with pytest.raises(ValueError, match="None log"):
         view.get_record(df, None)
+    # malformed ids fail validation the same way the reference's ObjectId
+    # parsing does — an explicit raise, not an int() traceback or a miss
+    for bad in ("garbage", "https://h/x#", "https://h/x#notanint"):
+        with pytest.raises(ValueError, match="malformed"):
+            view.get_record(df, bad)
     assert view.get_record(df, "https://h/node/svc/7#999") is None
     hit = view.get_record(df, "https://h/node/svc/7#0")
     assert hit is not None and hit["message"] == "Exec"
