@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf, "events").select("event_type").distinct()
     )
     q["user_sessions"] = _user_sessions
+    # Spark-native sessionization: session_window gap-merge (the operator a
+    # streaming pipeline uses with a watermark; here batch, fully oracled —
+    # window end = last event + gap, events exactly `gap` apart merge)
+    q["user_session_windows"] = _user_session_windows
     q["purchases_asof_signup"] = _purchases_asof_signup
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
@@ -493,6 +497,26 @@ def _events_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _user_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows via the native ``session_window`` operator
+    (gap-close 30 min): start = first event, end = last event + gap,
+    n_events per session. NTZ→string keeps the result session-TZ-free;
+    semantics pinned empirically — a gap of EXACTLY 30 min merges (the
+    oracle's new-session condition is strictly-greater, matching
+    ``user_sessions``)."""
+    events = _tbl(spark, sf, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     events = _tbl(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -711,6 +735,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup, "
             "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view "
             "FROM events GROUP BY 1"
+        ),
+        "user_session_windows": (
+            "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_us IS NULL OR "
+            "epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM (SELECT user_id, ts, lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev_us FROM events)), "
+            "sess AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
+            "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
+            "CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end, "
+            "count(*) AS n_events FROM sess GROUP BY user_id, sid"
         ),
         "user_sessions": (
             "SELECT user_id, CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > "

@@ -47,6 +47,45 @@ def streaming_sink_agg(pages_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def streaming_dedup(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Continuous exact dedup: first occurrence of each ``md5(text)`` wins,
+    duplicates arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` is the 100 TB-stream shape: state per
+    key is EVICTED once the watermark passes it, so state size is bounded
+    by the duplicate-arrival horizon instead of the corpus (an unbounded
+    ``dropDuplicates`` on a trillion-key stream eventually owns a
+    trillion-entry state store). Batch equivalence: with a watermark wider
+    than the corpus' event-time span this equals ``dedup.exact_dupes``'
+    keeper-count exactly (tested); production picks the horizon as the
+    SLA for how late a duplicate may arrive."""
+    keyed = pages_stream.withColumn(
+        "text_md5", F.md5(F.col("text").cast("binary"))
+    ).withWatermark("warc_ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["text_md5"])
+
+
+def run_streaming_dedup_to_memory(
+    spark: SparkSession, pages_dir: str, watermark: str = "2 hours",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Drive the streaming dedup over all available files (append mode —
+    each kept row is emitted exactly once)."""
+    deduped = streaming_dedup(stream_pages(spark, pages_dir), watermark)
+    q = (
+        deduped.select("url", "text_md5")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT url, text_md5 FROM {query_name}")
+
+
 def stateful_host_counts(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-host record count kept in
     explicit group state (``applyInPandasWithState``) — the pattern for

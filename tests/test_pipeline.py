@@ -155,3 +155,40 @@ def test_pipeline_fingerprint_tracks_file_names(spark, tmp_path):
     fp_a = pl._fingerprint("v3", "p", 1, ["a.parquet", "b.parquet"])
     fp_b = pl._fingerprint("v3", "p", 1, ["a.parquet", "c.parquet"])
     assert fp_a != fp_b
+
+
+def test_routed_layout_prunes_partitions(spark, tmp_path):
+    """The routed table layout (partitionBy node/log_type) is the engine's
+    point-lookup accelerator: a node-filtered read must prune at PLANNING
+    time — PartitionFilters on the scan, and only that node's files read —
+    which at 100 TB is the difference between scanning one directory and
+    scanning the corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    out = tmp_path / "out"
+    run_pipeline(spark, SF_SMOKE, str(out))
+    routed = spark.read.parquet(str(out / "routed"))
+    picked = routed.filter("node = 'n05'")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        picked.explain("formatted")
+    plan = buf.getvalue()
+    # planning-time proof: the node predicate lands in PartitionFilters on
+    # the scan (directory-level pruning), NOT as a post-scan data Filter
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "n05" in pf
+    # row provenance: every produced row comes from the node=n05 directory,
+    # and reading that directory alone yields the identical row count
+    from pyspark.sql import functions as F
+
+    files = {
+        r[0]
+        for r in picked.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all("node=n05" in f for f in files)
+    direct = spark.read.parquet(str(out / "routed" / "node=n05")).count()
+    assert picked.count() == direct > 0

@@ -61,3 +61,20 @@ def test_tws_sessions_equal_batch(spark):
         for r in entrymod.queries()["user_sessions"](spark, "/root/testdata/sf0.001").collect()
     }
     assert got == batch and len(got) > 20
+
+
+def test_streaming_dedup_equals_batch(spark, pages_cache):
+    """dropDuplicatesWithinWatermark with a horizon wider than the corpus'
+    event-time span must keep exactly one row per distinct text (== batch
+    exact_dupes group count), and the corpus does contain duplicates."""
+    from logagg import dedup
+
+    pages_dir = str(pages_cache / "pages.parquet")
+    got = streaming.run_streaming_dedup_to_memory(
+        spark, pages_dir, watermark="3650 days"
+    ).collect()
+    pages = spark.read.parquet(pages_dir)
+    batch_groups = dedup.exact_dupes(pages, id_col="url", text_col="text").collect()
+    assert len(got) == len(batch_groups)  # one keeper per distinct text
+    assert len(got) < pages.count()  # synth injects exact copies
+    assert {r["text_md5"] for r in got} == {r["text_md5"] for r in batch_groups}
