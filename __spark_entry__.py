@@ -206,6 +206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing
     q["html_meta"] = lambda spark, sf: multimodal.html_meta(_pages(spark, sf))
     q["media_decode_stub"] = lambda spark, sf: multimodal.decode_media(_pages(spark, sf))
+    # resize: integer-exact aspect-fit dims over the decoded media (the
+    # pixel resample itself belongs inside the decode UDF — same plan)
+    q["media_resize"] = lambda spark, sf: multimodal.resize_media(_pages(spark, sf))
+    # frame-sample: Catalyst-only 1→N sampling schedule (flatMap shape)
+    q["media_frame_sample"] = lambda spark, sf: multimodal.frame_sample(
+        _pages(spark, sf).filter(F.col("html").isNotNull())
+    )
 
     # ---- driver-table relational family (joins / windows / time buckets)
     q["tpch_q1"] = lambda spark, sf: (
@@ -645,6 +652,22 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_stub": (
             "SELECT url, media_kind, byte_len, magic, width, height, feature0, feature1 "
             f"FROM read_parquet('{c}/expected_media.parquet')"
+        ),
+        "media_resize": (
+            "SELECT url, media_kind, width, height, "
+            "CASE WHEN greatest(width, height) <= 128 THEN width ELSE "
+            "CAST(greatest(1, (CAST(width AS BIGINT) * 128) // "
+            "greatest(width, height)) AS INT) END AS out_w, "
+            "CASE WHEN greatest(width, height) <= 128 THEN height ELSE "
+            "CAST(greatest(1, (CAST(height AS BIGINT) * 128) // "
+            "greatest(width, height)) AS INT) END AS out_h "
+            f"FROM read_parquet('{c}/expected_media.parquet')"
+        ),
+        "media_frame_sample": (
+            "SELECT url, frame_idx, frame_idx * 40 AS ts_ms, "
+            "md5(url || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig FROM ("
+            "SELECT url, unnest(range(least(8, 1 + octet_length(html) // 256))) "
+            f"AS frame_idx FROM {pages} WHERE html IS NOT NULL)"
         ),
         "dedup_embedding_cosine": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "

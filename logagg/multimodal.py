@@ -88,3 +88,51 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(pages: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column."""
     return pages.select("url", "html").mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+def resize_media(pages: DataFrame, max_side: int = 128) -> DataFrame:
+    """Aspect-preserving thumbnail dimensions for every decoded medium.
+
+    The decode is the (stubbed) Arrow kernel above; the resize ARITHMETIC
+    is deliberately JVM-side and integer-exact — ``shorter·max_side //
+    longer`` with a floor-1 clamp — so it is engine-portable bit-for-bit
+    and costs nothing per row. A real deployment does the pixel resample
+    inside the decode UDF at these target dims (one Python hop total, the
+    plan does not change)."""
+    decoded = decode_media(pages)
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    longer = F.greatest(w, h)
+    fit = lambda side: F.when(  # noqa: E731
+        longer <= max_side, side
+    ).otherwise(F.greatest(F.lit(1), (side * max_side) / longer).cast("long"))
+    # integer division: (side * max_side) / longer floors via cast("long")
+    # only for non-negative operands — true here (dims are positive)
+    return decoded.select(
+        "url",
+        "media_kind",
+        "width",
+        "height",
+        fit(w).cast("int").alias("out_w"),
+        fit(h).cast("int").alias("out_h"),
+    )
+
+
+def frame_sample(
+    pages: DataFrame, frame_ms: int = 40, bytes_per_frame: int = 256, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling schedule for media payloads: 1→N fan-out of
+    (frame_idx, ts_ms) per payload, frame count derived from payload size,
+    capped. The SCHEDULE is pure Catalyst (length → sequence → explode — a
+    narrow fan-out that scales as a flatMap, no Python); ``frame_sig`` is
+    the deterministic stub standing where a real pipeline drops to an
+    Arrow-batched frame-decode UDF keyed by (url, ts_ms)."""
+    n = F.least(F.lit(max_frames), 1 + (F.length("html") / bytes_per_frame).cast("long"))
+    return (
+        pages.select("url", F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("frame_idx"))
+        .select(
+            "url",
+            "frame_idx",
+            (F.col("frame_idx") * frame_ms).alias("ts_ms"),
+            F.md5(F.concat_ws(":", "url", "frame_idx").cast("binary")).alias("frame_sig"),
+        )
+    )
