@@ -61,13 +61,16 @@ def _has_unescaped(segment: str, chars: str) -> bool:
 def _literal_runs(segment: str) -> list[str]:
     """Literal character runs REQUIRED by a regex segment (conservative).
 
-    The segment must be free of unescaped grouping/alternation/class syntax
-    (else nothing in it is provably required → empty). Quantifiers make the
-    preceding char optional: it is dropped from its run. ``\\X`` where X is
-    alphanumeric is a class escape (\\d, \\w, \\s...) and breaks the run;
-    other escapes contribute X itself as a literal.
+    The segment must be free of unescaped grouping/alternation syntax (else
+    nothing in it is provably required → empty — an alternation makes every
+    literal branch-conditional). A character class ``[...]`` is one
+    variable position: it breaks the current run but keeps the segment
+    analyzable. Quantifiers make the preceding atom optional/repeated: the
+    last run char is dropped (a just-skipped class pops nothing). ``\\X``
+    where X is alphanumeric is a class escape (\\d, \\w, \\s...) and breaks
+    the run; other escapes contribute X itself as a literal.
     """
-    if _has_unescaped(segment, "|()[]"):
+    if _has_unescaped(segment, "|()"):
         return []
     runs: list[str] = []
     cur: list[str] = []
@@ -87,6 +90,17 @@ def _literal_runs(segment: str) -> list[str]:
             else:
                 cur.append(nxt)
             i += 2
+            continue
+        if ch == "[":
+            flush()  # one variable char; skip to the closing bracket
+            j = i + 1
+            if j < len(segment) and segment[j] == "^":
+                j += 1
+            if j < len(segment) and segment[j] == "]":
+                j += 1  # leading ] is literal inside a class
+            while j < len(segment) and segment[j] != "]":
+                j += 2 if segment[j] == "\\" else 1
+            i = j + 1
             continue
         if ch in "*+?{":
             if cur:
@@ -128,6 +142,7 @@ class GrokPattern:
     def __init__(self, expression: str, library: dict[str, str] | None = None):
         lib = {**GROK_LIBRARY, **(library or {})}
         self.expression = expression
+        self._lib = lib
         self.fields: list[str] = []
         group = 0
 
@@ -161,23 +176,30 @@ class GrokPattern:
         """Longest literal substring every match must contain — the scan-level
         pre-filter a grok query pushes below opaque UDFs ("" if none).
 
-        Derived conservatively from the literal segments BETWEEN ``%{...}``
-        tokens in the original expression: if ANY segment contains unescaped
-        alternation or grouping syntax, the whole expression yields "" —
-        a top-level ``|`` (or a group spanning segments) means no segment's
-        literal is provably required by every match. Otherwise a quantified
-        char is dropped from its run (optional), and escaped metachars
-        (``\\(`` → ``(``) count as their literal char.
+        Derived conservatively from the original expression: if ANY literal
+        segment BETWEEN ``%{...}`` tokens contains unescaped alternation or
+        grouping syntax, the whole expression yields "" — a top-level ``|``
+        (or a group spanning segments) means nothing is provably required.
+        Otherwise candidates come from the segments AND from unquantified
+        token BODIES (a library pattern like JAVAFILE = ``[\\w.-]+\\.java``
+        requires ``.java`` in every match; bodies with their own
+        alternation/grouping — LOGLEVEL, JAVACLASS — contribute nothing,
+        and a token followed by a quantifier is optional, so its body is
+        skipped). Quantified chars are dropped from their runs; escaped
+        metachars (``\\(`` → ``(``) count as their literal char.
         """
         segments = _GROK_TOKEN.split(self.expression)[::3]  # non-token text
-        if any(_has_unescaped(seg, "|()[]") for seg in segments):
+        if any(_has_unescaped(seg, "|()") for seg in segments):
             return ""
-        best = ""
+        candidates: list[str] = []
         for seg in segments:
-            for run in _literal_runs(seg):
-                if len(run) > len(best):
-                    best = run
-        return best
+            candidates.extend(_literal_runs(seg))
+        for m in _GROK_TOKEN.finditer(self.expression):
+            end = m.end()
+            if end < len(self.expression) and self.expression[end] in "*+?{":
+                continue  # quantified token → its body is optional
+            candidates.extend(_literal_runs(self._lib[m.group(1)]))
+        return max(candidates, key=len, default="")
 
     @property
     def scan_literal(self) -> str:

@@ -39,10 +39,14 @@ def test_required_literal_extraction():
     """required_literal must be provably contained in EVERY match."""
     cases = {
         r"ErrorCode = %{INT:code} for %{PATH:err_path}": "ErrorCode = ",
-        r"at %{JAVACLASS:cls}\(%{JAVAFILE:jfile}:%{INT:lineno}\)": "at ",
+        # token-BODY mining: JAVAFILE's pattern requires ".java" (longer
+        # than the segment literal "at ")
+        r"at %{JAVACLASS:cls}\(%{JAVAFILE:jfile}:%{INT:lineno}\)": ".java",
         # alternation token: the branch literals are NOT required
         r"%{LOGLEVEL:sev} happened": " happened",
         r"%{WORD:w}": "",
+        # a quantified token's body is optional — only segments count
+        r"x %{JAVAFILE:f}? y": "x ",
     }
     for expr, want in cases.items():
         p = GrokPattern(expr)

@@ -66,6 +66,12 @@ CHECKS = {
         ],
         "must_not": [r"ReadSchema:.*html", r"extracted_text"],
     },
+    # the stack pattern's literal comes from a token BODY (JAVAFILE →
+    # ".java") — it must still land on the pages scan
+    "grok_stack_frames": {
+        "want": [r"PushedFilters: \[.*StringContains\(text,\.java\)"],
+        "must_not": [r"ReadSchema:.*html", r"extracted_text"],
+    },
 }
 
 
