@@ -159,6 +159,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(textstats.token_count(F.col("text")).cast("long")).alias("total_tokens"),
         )
     )
+    # BPE-ish token budgeting (the second token contract from the brief:
+    # whitespace tokens above, GPT-2-shaped pre-tokens here — pure JVM)
+    q["doc_bpe_token_stats"] = lambda spark, sf: (
+        _tbl(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(textstats.bpe_token_count(F.col("text")).cast("long")).alias(
+                "total_bpe_tokens"
+            ),
+            F.max(textstats.bpe_token_count(F.col("text")).cast("long")).alias(
+                "max_bpe_tokens"
+            ),
+        )
+    )
     q["doc_quality_by_source"] = lambda spark, sf: (
         _tbl(spark, sf, "documents")
         .groupBy("source")
@@ -633,6 +648,13 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum(len(list_filter(string_split_regex(text, {ws}), t -> t <> ''))) AS BIGINT) "
             "AS total_tokens FROM documents GROUP BY lang"
         ),
+        "doc_bpe_token_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            f"CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) "
+            "AS total_bpe_tokens, "
+            f"CAST(max(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) "
+            "AS max_bpe_tokens FROM documents GROUP BY lang"
+        ),
         "doc_quality_by_source": (
             f'SELECT "source", count(*) AS n_docs, round(avg({quality}), 6) AS avg_quality '
             'FROM documents GROUP BY "source"'
@@ -810,6 +832,10 @@ def oracle_sql() -> dict[str, str]:
         # fully value-oracled.
     }
 
+
+# one source of truth for the BPE-ish pre-token regex (textstats) — Java
+# regex and RE2 agree on this ASCII-pinned pattern
+from logagg.textstats import BPE_SPLIT_RE as _BPE_RE  # noqa: E402
 
 _ANN_ORACLE = (
     "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "

@@ -34,6 +34,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-style pre-tokenizer (GPT-2-family shape, ASCII-pinned for engine
+# portability: Java regex == RE2 == Python re on this pattern): a token is
+# an optional leading space + a letter run, digit run, or punctuation run;
+# bare whitespace runs are their own tokens. This is the "how many BPE-ish
+# tokens will this doc cost" estimator a training pipeline budgets with —
+# the merge step of real BPE only SPLITS these further, never crosses them.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens — one JVM regexp_extract_all, no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+
+
 def stopword_hits(text: Column) -> Column:
     toks = tokens_col(text)
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

@@ -74,3 +74,36 @@ def test_quality_score_matches_pure_python(spark):
     }
     for i, t, n in rows:
         assert got[i] == pytest.approx(textfns.quality_score(t, n), abs=1e-12)
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """BPE-ish pre-token counting: Java regexp_extract_all == Python re on
+    adversarial ASCII shapes, and pre-tokens never undercount whitespace
+    tokens (BPE merges only split finer, never across)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from logagg.textstats import BPE_SPLIT_RE, bpe_token_count, token_count
+
+    texts = [
+        "the quick brown fox", "a1b2c3", "hello, world!!", "  leading spaces",
+        "tabs\tand\nnewlines\x0bmixed", "punct...only!!!", "", "x",
+        "CamelCase and UPPER and 12345 numbers", "a-b_c.d/e",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: (r["bpe"], r["ws"])
+        for r in df.select(
+            "text",
+            bpe_token_count(F.col("text")).alias("bpe"),
+            token_count(F.col("text")).alias("ws"),
+        ).collect()
+    }
+    pat = re.compile(BPE_SPLIT_RE)
+    for t in texts:
+        want = len(pat.findall(t))
+        bpe, ws = got[t]
+        assert bpe == want, repr(t)
+        # whitespace runs are tokens too, so pre-tokens >= whitespace tokens
+        assert bpe >= ws, repr(t)
