@@ -388,9 +388,14 @@ def _headline():
         "tpch_q1": (qs["tpch_q1"], collect),
         "tpch_q9_profit": (qs["tpch_q9_profit"], collect),
         "grok_error_codes": (qs["grok_error_codes"], count),
+        "grok_stack_frames": (qs["grok_stack_frames"], collect),
         "orders_by_region": (qs["orders_by_region"], collect),
         "events_hourly": (qs["events_hourly"], count),
+        "events_exact_stats": (qs["events_exact_stats"], collect),
         "user_sessions": (qs["user_sessions"], count),
+        "user_session_windows": (qs["user_session_windows"], count),
+        "media_frame_sample": (qs["media_frame_sample"], count),
+        "doc_bpe_token_stats": (qs["doc_bpe_token_stats"], collect),
     }
 
 
