@@ -42,6 +42,27 @@ def sink_agg_hourly(parsed: DataFrame) -> DataFrame:
     )
 
 
+def daily_user_sketches(events: DataFrame) -> DataFrame:
+    """Partial HLL sketches (DataSketches) of distinct users per
+    (event_type, day). This is the MATERIALIZED-PARTIAL pattern that makes
+    distinct-count rollups tractable at 100 TB: the daily job stores a few
+    KB of sketch per group instead of the member set, and any coarser
+    grain (week / month / all-time) comes from ``merge_user_sketches``
+    without touching the raw data again."""
+    return events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+
+
+def merge_user_sketches(sketches: DataFrame) -> DataFrame:
+    """Roll partial sketches up to per-type distinct-user estimates via
+    ``hll_union_agg`` — exactly equal (same registers, associative merge)
+    to sketching the raw data in one pass; proven in pytest."""
+    return sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("approx_users")
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -70,3 +70,36 @@ def test_events_exact_stats_null_values_portable(spark, tmp_path):
     assert got == exp
     # sanity: NULLs excluded — n is the non-null count, not the row count
     assert all(n < 20 for n, *_ in got.values())
+
+
+def test_hll_sketch_rollup_merge_exact(spark):
+    """Mergeable-sketch contract: unioning per-day partial HLL sketches up
+    to per-type estimates equals sketching the raw data in ONE pass exactly
+    (same registers, associative merge) — the property that lets a 100 TB
+    pipeline store KB-sized partials and re-aggregate to any grain without
+    recounting. Estimates also land within 5% of the exact distinct."""
+    from logagg import aggregate
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    partials = aggregate.daily_user_sketches(events)
+    assert partials.count() > 20  # real multi-day fan-out to merge
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in aggregate.merge_user_sketches(partials).collect()
+    }
+    single_pass = {
+        r["event_type"]: r["approx"]
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"))
+        .collect()
+    }
+    assert merged == single_pass  # associativity: bit-identical registers
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
