@@ -833,9 +833,9 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-# one source of truth for the BPE-ish pre-token regex (textstats) — Java
-# regex and RE2 agree on this ASCII-pinned pattern
-from logagg.textstats import BPE_SPLIT_RE as _BPE_RE  # noqa: E402
+# one source of truth for the BPE-ish pre-token regex — Java regex and RE2
+# agree on the ASCII-pinned textstats pattern
+_BPE_RE = textstats.BPE_SPLIT_RE
 
 _ANN_ORACLE = (
     "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "

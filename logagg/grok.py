@@ -189,7 +189,11 @@ class GrokPattern:
         metachars (``\\(`` → ``(``) count as their literal char.
         """
         segments = _GROK_TOKEN.split(self.expression)[::3]  # non-token text
-        if any(_has_unescaped(seg, "|()") for seg in segments):
+        # brackets stay in the SEGMENT guard (unlike in _literal_runs, which
+        # only sees self-contained token bodies): an unescaped "[" in one
+        # segment can open a class that swallows later segments and tokens —
+        # "[%{WORD:w}xy]" is ONE class whose "xy" is not required by matches
+        if any(_has_unescaped(seg, "|()[]") for seg in segments):
             return ""
         candidates: list[str] = []
         for seg in segments:

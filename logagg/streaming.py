@@ -47,6 +47,24 @@ def streaming_sink_agg(pages_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def _drive_to_memory(
+    df: DataFrame, output_mode: str, query_name: str, final_sql: str
+) -> DataFrame:
+    """Shared test/bench drive loop: memory sink, processAllAvailable as the
+    deterministic barrier, then the final-state SQL over the sink table."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(final_sql)
+
+
 def streaming_dedup(pages_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Continuous exact dedup: first occurrence of each ``md5(text)`` wins,
     duplicates arriving within the watermark horizon are dropped.
@@ -72,18 +90,12 @@ def run_streaming_dedup_to_memory(
     """Drive the streaming dedup over all available files (append mode —
     each kept row is emitted exactly once)."""
     deduped = streaming_dedup(stream_pages(spark, pages_dir), watermark)
-    q = (
-        deduped.select("url", "text_md5")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    return _drive_to_memory(
+        deduped.select("url", "text_md5"),
+        "append",
+        query_name,
+        f"SELECT url, text_md5 FROM {query_name}",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT url, text_md5 FROM {query_name}")
 
 
 def stateful_host_counts(pages_stream: DataFrame) -> DataFrame:
@@ -116,21 +128,13 @@ def run_stateful_to_memory(
     spark: SparkSession, pages_dir: str, query_name: str = "stateful_counts"
 ) -> DataFrame:
     """Drive the stateful counter over all available files; the last update
-    per host is the final count."""
+    per host is the final count (updates append per micro-batch → max)."""
     agg = stateful_host_counts(stream_pages(spark, pages_dir))
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # updates append per micro-batch: the max per host is the final total
-    return spark.sql(
-        f"SELECT host, max(n_rows) AS n_rows FROM {query_name} GROUP BY host"
+    return _drive_to_memory(
+        agg,
+        "update",
+        query_name,
+        f"SELECT host, max(n_rows) AS n_rows FROM {query_name} GROUP BY host",
     )
 
 
@@ -138,20 +142,9 @@ def run_stream_to_memory(
     spark: SparkSession, pages_dir: str, query_name: str = "stream_agg"
 ) -> DataFrame:
     """Drive the stream over all currently-available files and return the
-    final aggregate as a DataFrame (test/bench harness: memory sink in
-    complete mode, processAllAvailable for a deterministic barrier)."""
+    final aggregate as a DataFrame."""
     agg = streaming_sink_agg(stream_pages(spark, pages_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _drive_to_memory(agg, "complete", query_name, f"SELECT * FROM {query_name}")
 
 
 def user_sessions_tws(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:

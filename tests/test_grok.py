@@ -129,3 +129,11 @@ def test_jvm_and_vectorized_agree(spark, pages_cache):
     bm = {r["url"]: (r["cls"], r["file"], r["lineno"]) for r in b}
     assert am == bm
     assert any(v[0] for v in am.values())  # stacktraces exist in the corpus
+
+
+def test_required_literal_class_spanning_token():
+    """An unescaped class bracket in a SEGMENT can swallow later segments
+    and tokens — '[%{WORD:w}xy]' is one class; 'xy' is not required (the
+    regex matches a single '(' char). Must void the whole expression."""
+    assert GrokPattern(r"[%{WORD:w}xy]").required_literal == ""
+    assert GrokPattern(r"x] %{INT:n}").required_literal == ""  # stray bracket
