@@ -148,3 +148,50 @@ def test_url_meta_matches_python_re(_spark, urls):
             _py_regexp_extract(HOST_RE, u),
         )
         assert got[u] == want, repr(u)
+
+
+# ---- required_literal soundness over RANDOM grok expressions ------------
+# The literal pre-filter's whole contract is: every string matching the
+# compiled pattern contains required_literal. st.from_regex generates
+# matching strings directly from the compiled regex — a generative oracle
+# that exercises segment literals, token bodies, quantified tokens,
+# alternations, classes (including ones spanning token boundaries), and
+# escape sequences far beyond the hand-written cases.
+
+_SEG_ALPHA = "ab |()[]{}\\?*+.x:=-"
+_GROK_TOKENS = [
+    "%{WORD:w}", "%{INT:i}", "%{LOGLEVEL:l}", "%{JAVAFILE:f}",
+    "%{DATA:d}", "%{PATH:p}", "%{NUMBER:n}", "%{JAVACLASS:c}",
+]
+_grok_exprs = st.lists(
+    st.one_of(
+        st.text(alphabet=_SEG_ALPHA, min_size=0, max_size=8),
+        st.sampled_from(_GROK_TOKENS),
+    ),
+    min_size=1,
+    max_size=5,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_required_literal_soundness_fuzz(data):
+    import re as _re
+
+    from hypothesis import assume
+
+    from logagg.grok import GrokPattern
+
+    expr = data.draw(_grok_exprs)
+    try:
+        p = GrokPattern(expr)
+        _re.compile(p.regex)
+    except (KeyError, _re.error):
+        assume(False)
+        return
+    lit = p.required_literal
+    if not lit:
+        return  # nothing claimed, nothing to violate
+    probe = data.draw(st.from_regex(p.regex))
+    # probe CONTAINS a match of the pattern; the claimed literal must be in it
+    assert lit in probe, (expr, p.regex, lit, probe)
