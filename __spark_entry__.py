@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["distinct_event_types"] = lambda spark, sf: (
         _tbl(spark, sf, "events").select("event_type").distinct()
     )
+    # set ops: signup-cohort membership via INTERSECT / EXCEPT (both are
+    # hash-agg + shuffle-on-key plans — no cartesian anything)
+    q["signup_cohorts"] = _signup_cohorts
     q["user_sessions"] = _user_sessions
     # Spark-native sessionization: session_window gap-merge (the operator a
     # streaming pipeline uses with a watermark; here batch, fully oracled —
@@ -494,6 +497,22 @@ def _orders_by_region(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+
+
+def _signup_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operator coverage: signed-up users split into converted
+    (INTERSECT purchasers) and churned (EXCEPT purchasers)."""
+    events = _tbl(spark, sf, "events")
+    users_of = lambda t: (  # noqa: E731
+        events.filter(F.col("event_type") == t).select("user_id").distinct()
+    )
+    signups, purchasers = users_of("signup"), users_of("purchase")
+    return (
+        signups.intersect(purchasers).withColumn("cohort", F.lit("converted"))
+        .unionByName(
+            signups.exceptAll(purchasers).withColumn("cohort", F.lit("churned"))
         )
     )
 
@@ -780,6 +799,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value_cents DESC, user_id LIMIT 10"
         ),
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "signup_cohorts": (
+            "SELECT user_id, 'converted' AS cohort FROM ("
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+            "INTERSECT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "UNION ALL "
+            "SELECT user_id, 'churned' AS cohort FROM ("
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+            "EXCEPT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+        ),
         "purchases_asof_signup": (
             "SELECT e.event_id, e.user_id, CAST(s.ts AS VARCHAR) AS signup_ts "
             "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e "
