@@ -147,6 +147,32 @@ def run_stream_to_memory(
     return _drive_to_memory(agg, "complete", query_name, f"SELECT * FROM {query_name}")
 
 
+def streaming_session_windows(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time sessionization on a stream: the native ``session_window``
+    gap-merge under a watermark. Append mode emits a session only once the
+    watermark passes its end — the late-data contract: an event arriving
+    within ``watermark`` of the session's close still merges; later ones
+    are dropped rather than corrupting an already-emitted session.
+
+    Watermarks require an instant-typed event time (TIMESTAMP, not NTZ) —
+    the cast is the wall-clock identity because the session TZ is pinned
+    UTC (logagg.session)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def user_sessions_tws(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session counting via ``transformWithStateInPandas`` — the
     Spark 4 successor to applyInPandasWithState (typed state handles, timer

@@ -114,3 +114,15 @@ def test_dup_clusters_raises_instead_of_wrong_labels(spark):
             pairs=_chain_pairs(spark, 40),
             max_iters=1,
         )
+
+
+def test_dup_clusters_empty_pair_list(spark):
+    """A corpus with no near-dup pairs must yield an empty cluster table,
+    not a crash (first iteration converges on the empty label set)."""
+    from logagg import dedup
+
+    out = dedup.dup_clusters(
+        spark.range(0).selectExpr("'x' as url", "'y' as text"),
+        pairs=_chain_pairs(spark, 1),  # 1 node -> zero edges
+    ).collect()
+    assert out == []

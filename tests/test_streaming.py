@@ -78,3 +78,63 @@ def test_streaming_dedup_equals_batch(spark, pages_cache):
     assert len(got) == len(batch_groups)  # one keeper per distinct text
     assert len(got) < pages.count()  # synth injects exact copies
     assert {r["text_md5"] for r in got} == {r["text_md5"] for r in batch_groups}
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """Native session_window on a STREAM == the batch sessionizer: events
+    process first, then a far-future sentinel file advances the watermark
+    past every window so append mode flushes all sessions (the late-data
+    lifecycle: emit only when the watermark passes a session's end)."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0001.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [10**12],
+            "ts": pd.Series([max_ts + pd.Timedelta(days=365)], dtype="datetime64[us]"),
+            "user_id": [10**9],  # off-corpus user; excluded from the compare
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    spark.createDataFrame(sentinel, schema=events.schema).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "sentinel"))
+    part = next((tmp_path / "sentinel").glob("part-*.parquet"))
+    shutil.copy(part, src / "part-0002.parquet")
+    now = time.time()
+    os.utime(src / "part-0001.parquet", (now - 100, now - 100))  # processed first
+    os.utime(src / "part-0002.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = streaming._drive_to_memory(
+        streaming.streaming_session_windows(stream),
+        "append",
+        "stream_sessions",
+        "SELECT * FROM stream_sessions WHERE user_id < 1000000000",
+    )
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"], r["n_events"])  # noqa: E731
+    got = {key(r) for r in got_df.collect()}
+    batch = {
+        (r["user_id"], pd.Timestamp(r["session_start"]), pd.Timestamp(r["session_end"]), r["n_events"])
+        for r in entrymod._user_session_windows(spark, sf_dir).collect()
+    }
+    got_norm = {(u, pd.Timestamp(s), pd.Timestamp(e), n) for u, s, e, n in got}
+    assert got_norm == batch
+    assert len(batch) > 1000
