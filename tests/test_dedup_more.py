@@ -126,3 +126,33 @@ def test_dup_clusters_empty_pair_list(spark):
         pairs=_chain_pairs(spark, 1),  # 1 node -> zero edges
     ).collect()
     assert out == []
+
+
+def test_dup_clusters_random_graphs_match_union_find(spark):
+    """Distributed label propagation == the pure-Python union-find twin on
+    random graphs (stars, chains, cliques, disconnected mixes — shapes the
+    synth corpus and hand-written chains don't cover)."""
+    import random
+
+    from logagg import dedup, refsketch
+
+    rng = random.Random(0xC0FFEE)
+    empty = spark.range(0).selectExpr("'x' as url", "'y' as text")
+    for trial in range(6):
+        n = rng.randint(2, 24)
+        nodes = [f"v{i:02d}" for i in range(n)]
+        m = rng.randint(1, 2 * n)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            [(a, b, 1, 1, 1) for a, b in sorted(edges)],
+            "url_a string, url_b string, shared long, na long, nb long",
+        )
+        got = {
+            (r["url"], r["cluster"])
+            for r in dedup.dup_clusters(empty, pairs=pairs).collect()
+        }
+        want = set(refsketch.connected_components(sorted(edges)).items())
+        assert got == want, (trial, sorted(edges))

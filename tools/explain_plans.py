@@ -72,6 +72,17 @@ CHECKS = {
         "want": [r"PushedFilters: \[.*StringContains\(text,\.java\)"],
         "must_not": [r"ReadSchema:.*html", r"extracted_text"],
     },
+    # native sessionization: one shuffle on the grouping key, no joins
+    "user_session_windows": {
+        "want": [r"session_window", r"HashAggregate|SortAggregate"],
+        "must_not": [r"CartesianProduct", r"MapInPandas"],
+    },
+    # frame-sampling schedule is pure Catalyst: explode, zero Python
+    "media_frame_sample": {
+        "want": [r"Generate", r"explode\(sequence"],
+        "must_not": [r"MapInPandas|ArrowEvalPython", r"ReadSchema:.*text"],
+    },
+    "signup_cohorts": {"must_not": [r"CartesianProduct"]},
 }
 
 
