@@ -58,19 +58,50 @@ def _has_unescaped(segment: str, chars: str) -> bool:
     return False
 
 
+def _brackets_balanced(s: str) -> bool:
+    """True iff every unescaped ``[`` closes within ``s`` and no stray
+    unescaped ``]`` appears outside a class — i.e. the string's character
+    classes are self-contained, so per-string analysis cannot be fooled by
+    a class spanning into neighboring segments or tokens. (A lone ``]`` is
+    technically a literal in most engines; treated as unbalanced here —
+    conservatism costs only a skipped filter, never a wrong one.)"""
+    i, in_class = 0, False
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if not in_class and ch == "[":
+            in_class = True
+            i += 1
+            if i < len(s) and s[i] == "^":
+                i += 1
+            if i < len(s) and s[i] == "]":
+                i += 1  # leading ] is literal inside a class
+            continue
+        if ch == "]":
+            if not in_class:
+                return False
+            in_class = False
+        i += 1
+    return not in_class
+
+
 def _literal_runs(segment: str) -> list[str]:
     """Literal character runs REQUIRED by a regex segment (conservative).
 
     The segment must be free of unescaped grouping/alternation syntax (else
     nothing in it is provably required → empty — an alternation makes every
-    literal branch-conditional). A character class ``[...]`` is one
-    variable position: it breaks the current run but keeps the segment
+    literal branch-conditional) and its classes must be self-contained
+    (``_brackets_balanced`` — a stray bracket means this string is part of
+    a class that spans beyond it). A balanced character class ``[...]`` is
+    one variable position: it breaks the current run but keeps the segment
     analyzable. Quantifiers make the preceding atom optional/repeated: the
     last run char is dropped (a just-skipped class pops nothing). ``\\X``
     where X is alphanumeric is a class escape (\\d, \\w, \\s...) and breaks
     the run; other escapes contribute X itself as a literal.
     """
-    if _has_unescaped(segment, "|()"):
+    if _has_unescaped(segment, "|()") or not _brackets_balanced(segment):
         return []
     runs: list[str] = []
     cur: list[str] = []
@@ -189,11 +220,15 @@ class GrokPattern:
         metachars (``\\(`` → ``(``) count as their literal char.
         """
         segments = _GROK_TOKEN.split(self.expression)[::3]  # non-token text
-        # brackets stay in the SEGMENT guard (unlike in _literal_runs, which
-        # only sees self-contained token bodies): an unescaped "[" in one
-        # segment can open a class that swallows later segments and tokens —
-        # "[%{WORD:w}xy]" is ONE class whose "xy" is not required by matches
-        if any(_has_unescaped(seg, "|()[]") for seg in segments):
+        # a segment whose brackets are UNBALANCED opens (or continues) a
+        # class that swallows later segments and tokens — "[%{WORD:w}xy]"
+        # is ONE class whose "xy" is not required by matches → void the
+        # whole expression. Balanced, self-contained classes within a
+        # segment are fine (handled inside _literal_runs).
+        if any(
+            _has_unescaped(seg, "|()") or not _brackets_balanced(seg)
+            for seg in segments
+        ):
             return ""
         candidates: list[str] = []
         for seg in segments:
@@ -202,6 +237,9 @@ class GrokPattern:
             end = m.end()
             if end < len(self.expression) and self.expression[end] in "*+?{":
                 continue  # quantified token → its body is optional
+            # _literal_runs rejects bodies with alternation/grouping or
+            # unbalanced brackets (a stray "]" in a user-supplied library
+            # body would otherwise leak an unsound literal)
             candidates.extend(_literal_runs(self._lib[m.group(1)]))
         return max(candidates, key=len, default="")
 

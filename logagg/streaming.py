@@ -250,22 +250,15 @@ def run_sessions_tws_to_memory(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        q = (
-            user_sessions_tws(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(query_name)
-            .start()
+        return _drive_to_memory(
+            user_sessions_tws(stream),
+            "update",
+            query_name,
+            f"SELECT user_id, max(n_sessions) AS n_sessions FROM {query_name} "
+            "GROUP BY user_id",
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    return spark.sql(
-        f"SELECT user_id, max(n_sessions) AS n_sessions FROM {query_name} GROUP BY user_id"
-    )

@@ -141,7 +141,7 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
     for trial in range(6):
         n = rng.randint(2, 24)
         nodes = [f"v{i:02d}" for i in range(n)]
-        m = rng.randint(1, 2 * n)
+        m = rng.randint(1, min(2 * n, n * (n - 1) // 2))  # never exceed |pairs|
         edges = set()
         while len(edges) < m:
             a, b = rng.sample(nodes, 2)

@@ -137,3 +137,14 @@ def test_required_literal_class_spanning_token():
     regex matches a single '(' char). Must void the whole expression."""
     assert GrokPattern(r"[%{WORD:w}xy]").required_literal == ""
     assert GrokPattern(r"x] %{INT:n}").required_literal == ""  # stray bracket
+
+
+def test_required_literal_bracket_balance():
+    """Balance-aware class handling: a self-contained class in a segment
+    keeps its literals (pushdown preserved), while stray/unclosed brackets
+    — including in user-supplied LIBRARY bodies — void the claim."""
+    assert GrokPattern(r"err[0-9]code %{WORD:w}").required_literal == "code "
+    # review repro: '(?:[a)(?:b])' is ONE class matching 'a' — 'b' is not
+    # required; the stray ']' in body B must void that body's runs
+    p = GrokPattern("%{A}%{B}", library={"A": "[a", "B": "b]"})
+    assert p.required_literal == ""
