@@ -395,7 +395,9 @@ def _headline():
         "user_sessions": (qs["user_sessions"], count),
         "user_session_windows": (qs["user_session_windows"], count),
         "media_frame_sample": (qs["media_frame_sample"], count),
+        "media_resize": (qs["media_resize"], count),
         "doc_bpe_token_stats": (qs["doc_bpe_token_stats"], collect),
+        "signup_cohorts": (qs["signup_cohorts"], collect),
     }
 
 
