@@ -103,3 +103,15 @@ def test_salted_join_salt_is_deterministic(spark, pages_cache):
     a = joined.groupBy("geo").count().collect()
     b = joined.groupBy("geo").count().collect()
     assert {r["geo"]: r["count"] for r in a} == {r["geo"]: r["count"] for r in b}
+
+
+def test_driver_contract_oracle_coverage():
+    """Contract guard: every queries() entry carries an oracle_sql() twin,
+    except the explicitly-documented sketch query (COVERAGE.md 'Sketch
+    verification ceiling'); no orphan oracles either."""
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) - set(oracles) == {"events_approx_stats"}
+    assert set(oracles) <= set(qs)  # no oracle without a query
+    assert len(qs) == 50
