@@ -261,3 +261,46 @@ def test_media_sniff_kinds(spark):
         "u4": ("unknown", 13),
         "u5": ("unknown", 0),
     }
+
+
+def test_resize_dims_match_python_reference(spark):
+    """The integer-exact aspect-fit expression (clamp(floor(side*max/longer)))
+    equals the scalar Python reference over random dims, including the
+    degenerate 1-pixel outputs."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    dims = [(rng.randint(1, 4096), rng.randint(1, 4096)) for _ in range(500)]
+    dims += [(1, 4096), (4096, 1), (128, 128), (129, 1), (1, 1)]
+    pdf = pd.DataFrame({"width": [w for w, _ in dims], "height": [h for _, h in dims]})
+    df = spark.createDataFrame(pdf)
+    max_side = 128
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    longer = F.greatest(w, h)
+    fit = lambda side: F.when(longer <= max_side, side).otherwise(  # noqa: E731
+        F.greatest(F.lit(1), (side * max_side) / longer).cast("long")
+    )
+    got = df.select("width", "height", fit(w).alias("ow"), fit(h).alias("oh")).collect()
+
+    def ref(w_, h_):
+        longer_ = max(w_, h_)
+        if longer_ <= max_side:
+            return w_, h_
+        return max(1, w_ * max_side // longer_), max(1, h_ * max_side // longer_)
+
+    for r in got:
+        assert (r["ow"], r["oh"]) == ref(r["width"], r["height"]), (r["width"], r["height"])
+
+
+def test_events_approx_stats_deterministic(spark):
+    """COVERAGE.md claims the sketch estimates are deterministic for a
+    fixed input — pin it (two evaluations, identical values)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["events_approx_stats"]
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["event_type"], r["approx_users"], r["q50"], r["q95"], r["q99"])  # noqa: E731
+    assert sorted(map(key, q(spark, sf).collect())) == sorted(map(key, q(spark, sf).collect()))
