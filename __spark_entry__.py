@@ -185,6 +185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # single-pass per-column data profiling (the ingest data-quality gate)
+    q["documents_profile"] = lambda spark, sf: textstats.profile_table(
+        _tbl(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
     # deterministic leakage-safe train/holdout split (md5-hash bucketing)
     q["doc_hash_split"] = lambda spark, sf: (
         textstats.hash_split(_tbl(spark, sf, "documents"), "doc_id")
@@ -677,6 +682,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_by_source": (
             f'SELECT "source", count(*) AS n_docs, round(avg({quality}), 6) AS avg_quality '
             'FROM documents GROUP BY "source"'
+        ),
+        "documents_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_val, "
+            f"CAST(max({c}) AS VARCHAR) AS max_val FROM documents"
+            for c in ("doc_id", "lang", "source", "n_chars")
         ),
         "doc_hash_split": (
             "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' "

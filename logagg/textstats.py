@@ -34,6 +34,45 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Single-pass data-profiling: per column, row count, null count,
+    exact distinct count, and min/max (as strings — type-uniform output).
+
+    One wide aggregate — every statistic is computed in the same
+    partial+final pass over one scan (count_distinct adds its expand
+    internally; no per-column jobs, no driver loop). The ingest-time
+    data-quality gate for a pipeline: schema drift, null blowups, and
+    cardinality anomalies all surface here before training data ships."""
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in columns
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("p"))
+        .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")
+    )
+
+
 # BPE-style pre-tokenizer (GPT-2-family shape, ASCII-pinned for engine
 # portability: Java regex == RE2 == Python re on this pattern): a token is
 # an optional leading space + a letter run, digit run, or punctuation run;

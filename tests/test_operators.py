@@ -114,4 +114,4 @@ def test_driver_contract_oracle_coverage():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(qs) - set(oracles) == {"events_approx_stats"}
     assert set(oracles) <= set(qs)  # no oracle without a query
-    assert len(qs) == 50
+    assert len(qs) == 51
