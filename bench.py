@@ -398,6 +398,7 @@ def _headline():
         "media_resize": (qs["media_resize"], count),
         "doc_bpe_token_stats": (qs["doc_bpe_token_stats"], collect),
         "signup_cohorts": (qs["signup_cohorts"], collect),
+        "documents_profile": (qs["documents_profile"], collect),
     }
 
 
