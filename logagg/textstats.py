@@ -34,22 +34,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
-def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str], approximate: bool = False
+) -> DataFrame:
     """Single-pass data-profiling: per column, row count, null count,
-    exact distinct count, and min/max (as strings — type-uniform output).
+    distinct count, and min/max (as strings — type-uniform output).
 
     One wide aggregate — every statistic is computed in the same
-    partial+final pass over one scan (count_distinct adds its expand
-    internally; no per-column jobs, no driver loop). The ingest-time
-    data-quality gate for a pipeline: schema drift, null blowups, and
-    cardinality anomalies all surface here before training data ships."""
+    partial+final pass over one scan (no per-column jobs, no driver loop).
+    The ingest-time data-quality gate for a pipeline: schema drift, null
+    blowups, and cardinality anomalies all surface here before training
+    data ships. ``approximate=True`` swaps exact distinct for
+    ``approx_count_distinct`` (HLL) — the 100 TB path: no expand, a
+    fixed-size register per column instead of a distinct shuffle; exact is
+    the oracle/audit path."""
+    distinct_of = F.approx_count_distinct if approximate else F.count_distinct
     aggs = []
     for c in columns:
         col = F.col(c)
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(col).alias(f"{c}__distinct"),
+            distinct_of(col).alias(f"{c}__distinct"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
         ]

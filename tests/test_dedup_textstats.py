@@ -107,3 +107,31 @@ def test_bpe_token_count_matches_python_re(spark):
         assert bpe == want, repr(t)
         # whitespace runs are tokens too, so pre-tokens >= whitespace tokens
         assert bpe >= ws, repr(t)
+
+
+def test_profile_table_exact_and_approximate(spark):
+    """profile_table: exact mode matches hand-computed stats; approximate
+    mode (the 100 TB path — HLL registers instead of a distinct shuffle)
+    agrees on everything but distinct, which lands within 5%."""
+    from logagg.textstats import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cols = ["doc_id", "lang", "n_chars"]
+    exact = {r["column"]: r.asDict() for r in profile_table(docs, cols).collect()}
+    n = docs.count()
+    n_langs = docs.select("lang").distinct().count()
+    assert exact["doc_id"]["n_rows"] == n and exact["doc_id"]["n_distinct"] == n
+    assert exact["lang"]["n_distinct"] == n_langs
+    assert all(v["n_nulls"] == 0 for v in exact.values())
+    approx = {
+        r["column"]: r.asDict()
+        for r in profile_table(docs, cols, approximate=True).collect()
+    }
+    for c in cols:
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_val"] == exact[c]["min_val"]
+        assert approx[c]["max_val"] == exact[c]["max_val"]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
+            1, 0.05 * exact[c]["n_distinct"]
+        ), c
