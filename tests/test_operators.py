@@ -115,3 +115,11 @@ def test_driver_contract_oracle_coverage():
     assert set(qs) - set(oracles) == {"events_approx_stats"}
     assert set(oracles) <= set(qs)  # no oracle without a query
     assert len(qs) == 51
+    # ordering contract: the round-3 driver recorded exactly the FIRST 50
+    # queries() entries, so every value-oracled query must sit in the first
+    # 50 slots — the only entry allowed to fall off the recorded artifact is
+    # the rows-only sketch query (no value oracle by documented ceiling)
+    keys = list(qs)
+    assert keys[-1] == "events_approx_stats"
+    assert all(k in oracles for k in keys[:50])
+    assert "events_pivot" in keys[:50]
