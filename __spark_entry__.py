@@ -200,8 +200,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup
     q["dedup_exact_docs"] = lambda spark, sf: dedup.exact_dupes(_tbl(spark, sf, "documents"))
     q["dedup_shingle_pairs"] = _jaccard_pairs_cached
-    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(_pages(spark, sf))
-    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_dupes(_pages(spark, sf))
+    # pair lists land in parquet (materialize="path") — the bench-scale
+    # contract: no driver round-trip anywhere in the pair family
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(
+        _pages(spark, sf), materialize="path", out_path=_derived_path(sf, "minhash_lsh")
+    )
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_dupes(
+        _pages(spark, sf), materialize="path", out_path=_derived_path(sf, "simhash")
+    )
     q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_dupes(
         _tbl(spark, sf, "embeddings")
     )
@@ -338,23 +344,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-# session-scoped memo of the exact near-dup pair list: dedup_shingle_pairs
-# and dedup_clusters share one computation (the result is a small,
-# locally-materialized DataFrame — see dedup.jaccard_pairs). Keyed weakly
-# on the session OBJECT (id() can be recycled after GC, handing a stopped
-# session's DataFrame to a new session); entries die with their session.
-import weakref
+# Derived pair-list artifacts land in parquet (materialize="path"), never
+# the driver: a template-heavy 100 TB corpus can yield a pair list no
+# driver holds, and the parquet form is exactly what dup_clusters and the
+# bench actions consume anyway.
+from pathlib import Path as _Path
 
-_PAIRS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+_DERIVED_DIR = _Path(__file__).resolve().parent / ".cache" / "derived"
+
+
+def _derived_path(sf: str, name: str) -> str:
+    out = _DERIVED_DIR / synth.cache_dir_for(sf).name
+    out.mkdir(parents=True, exist_ok=True)
+    return str(out / name)
+
+
+# memo of the exact near-dup pair list: dedup_shingle_pairs and
+# dedup_clusters share one computation per (session, sf). Values are
+# (applicationId, parquet path) STRINGS — no DataFrame, so nothing here
+# references a SparkSession and stopped-session state cannot be retained
+# (the old WeakKeyDictionary-of-DataFrames pinned its own key alive).
+# A new session sees a stale applicationId and recomputes over the same
+# path.
+_PAIRS_MEMO: dict[str, tuple[str, str]] = {}
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf: str) -> DataFrame:
-    per_session = _PAIRS_MEMO.setdefault(spark, {})
-    if sf not in per_session:
-        per_session[sf] = dedup.jaccard_pairs(_pages(spark, sf))
-    return per_session[sf]
+    app = spark.sparkContext.applicationId
+    path = _derived_path(sf, "jaccard_pairs")
+    if _PAIRS_MEMO.get(sf) == (app, path):
+        return spark.read.parquet(path)
+    df = dedup.jaccard_pairs(_pages(spark, sf), materialize="path", out_path=path)
+    _PAIRS_MEMO[sf] = (app, path)
+    return df
 
 
 # compiled grok patterns (single source for the Spark queries AND their

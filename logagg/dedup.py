@@ -19,8 +19,17 @@ Design for 100 TB:
   even the DF-cut leaves hot keys.
 
 Cache lifecycle: every persisted intermediate is released before the
-operator returns — final results are bounded by design (pair lists) and are
-materialized locally (util.materialize_local) to cut lineage first.
+operator returns. Final results are frozen first (util.materialize) under
+one of two modes, threaded through every pair operator:
+
+* ``materialize="local"`` (default) — Arrow round-trip through the driver;
+  the oracle-scale convenience, only sane while the pair list is provably
+  small.
+* ``materialize="path"`` + ``out_path`` — write the result to parquet and
+  read it back; nothing rides through the driver, so a template-heavy
+  corpus whose pair list is billions of rows still works. This is the mode
+  the bench and dup_clusters use; ``out_path`` must be executor-reachable
+  storage on a real cluster.
 """
 
 from __future__ import annotations
@@ -47,7 +56,7 @@ from logagg.schemas import (
     STOP_SAMPLE_MOD,
     df_max_for,
 )
-from logagg.util import materialize_local
+from logagg import util
 
 # ---------------------------------------------------------------- exact
 
@@ -134,12 +143,19 @@ def sampled_stop_shingles(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", n_docs: int | None = None
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+    materialize: str = "local",
+    out_path: str | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs with J >= 0.8 after the df_max_for cut.
 
     Integer-exact output (shared / set sizes) so the result is engine-
-    portable with no float tolerance.
+    portable with no float tolerance. ``materialize="path"`` (with
+    ``out_path``) lands the result — and the id map — in parquet instead of
+    the driver; see the module docstring.
     """
     df_max = df_max_for(_doc_count(df, n_docs))
     sh = shingles(df, id_col, text_col)
@@ -151,10 +167,14 @@ def jaccard_pairs(
     # rows (tiny next to |shingles|); at cluster scale the same remap is a
     # bucketed join against a doc-id dimension instead of a broadcast.
     # materialized (not lazy): monotonically_increasing_id is recompute-
-    # unstable — the map is consumed by three joins and must be frozen
-    id_map = materialize_local(
+    # unstable — the map is consumed by three joins and must be frozen.
+    # In path mode it freezes to parquet: |docs| rows is itself too big for
+    # a 100 TB driver.
+    id_map = util.materialize(
         df.select(F.col(id_col).alias("_doc")).distinct()
-        .withColumn("iid", F.monotonically_increasing_id())
+        .withColumn("iid", F.monotonically_increasing_id()),
+        materialize,
+        f"{out_path}.idmap" if out_path else None,
     )
     sh = sh.join(F.broadcast(id_map), sh["id"] == F.col("_doc")).select("iid", "shingle")
 
@@ -220,7 +240,7 @@ def jaccard_pairs(
             F.when(swap, F.col("_sb")).otherwise(F.col("_sa")).alias("na"),
             F.when(swap, F.col("_sa")).otherwise(F.col("_sb")).alias("nb"),
         )
-        return materialize_local(result)
+        return util.materialize(result, materialize, out_path)
     finally:
         postings.unpersist()
 
@@ -236,6 +256,8 @@ def dup_clusters(
     max_iters: int = 20,
     n_docs: int | None = None,
     checkpoint_dir: str | None = None,
+    materialize: str = "local",
+    out_path: str | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup pairs → per-doc
     cluster id (the lexicographically smallest url in the component — the
@@ -262,6 +284,13 @@ def dup_clusters(
     if pairs is None:
         pairs = jaccard_pairs(df, id_col, text_col, n_docs=n_docs)
     owns_tmp = checkpoint_dir is None
+    if owns_tmp and not spark.conf.get("spark.master", "").startswith("local"):
+        # a driver-local mkdtemp path is not visible to remote executors —
+        # silently-empty reads, not an error, so refuse up front
+        raise ValueError(
+            "dup_clusters needs an explicit executor-reachable checkpoint_dir "
+            "on a non-local master (the default is a driver-local temp dir)"
+        )
     tmp = checkpoint_dir or tempfile.mkdtemp(prefix="logagg-cc-")
     try:
         edges_path = f"{tmp}/edges"
@@ -295,9 +324,9 @@ def dup_clusters(
             ).select(
                 "id", F.least("label", F.coalesce("_hlabel", "label")).alias("label")
             )
-            out_path = label_paths[(it + 1) % 2]
-            doubled.write.mode("overwrite").parquet(out_path)
-            new_labels = spark.read.parquet(out_path)
+            step_path = label_paths[(it + 1) % 2]
+            doubled.write.mode("overwrite").parquet(step_path)
+            new_labels = spark.read.parquet(step_path)
             changed = (
                 new_labels.join(
                     labels.select("id", F.col("label").alias("_old")), "id"
@@ -318,11 +347,15 @@ def dup_clusters(
         result = labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster")
         )
+        if materialize == "path":
+            # durable landing: write before the temp checkpoint dir (which
+            # backs `labels`) is removed
+            return util.materialize(result, "path", out_path)
         if owns_tmp:
             # bounded-by-design result (≤ 2·|pairs| rows): pull it off the
             # temp checkpoint storage so the dir can be removed
-            return materialize_local(result)
-        return result
+            return util.materialize_local(result)
+        return result  # parquet-backed in the caller's checkpoint_dir
     finally:
         if owns_tmp:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -362,7 +395,13 @@ def simhash(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataF
     return src.mapInPandas(_simhash_batches, schema="id string, simhash long")
 
 
-def simhash_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+def simhash_dupes(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
     """Near-dup pairs with Hamming distance <= 3 between SimHashes.
 
     Banding (4×16 bits) is exact here by pigeonhole — ≤3 differing bits
@@ -396,7 +435,7 @@ def simhash_dupes(df: DataFrame, id_col: str = "url", text_col: str = "text") ->
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
             .distinct()
         )
-        return materialize_local(pairs)
+        return util.materialize(pairs, materialize, out_path)
     finally:
         sh.unpersist()
 
@@ -498,12 +537,14 @@ def minhash_candidates(
     id_col: str = "url",
     text_col: str = "text",
     stop: frozenset = frozenset(),
+    materialize: str = "local",
+    out_path: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal (band, minhash-band-key) → same bucket.
 
     The band table is persisted only for the duration of the self-join; the
-    (small) candidate list is materialized locally so the cache is released
-    before this returns."""
+    candidate list is frozen (locally or to ``out_path`` parquet) so the
+    cache is released before this returns."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     bands = src.mapInPandas(
         _band_batches_fn(stop), schema="id string, band int, key string"
@@ -517,13 +558,18 @@ def minhash_candidates(
             .select(F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"))
             .distinct()
         )
-        return materialize_local(cands)
+        return util.materialize(cands, materialize, out_path)
     finally:
         bands.unpersist()
 
 
 def minhash_lsh_dupes(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", n_docs: int | None = None
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+    materialize: str = "local",
+    out_path: str | None = None,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified with exact Jaccard.
 
@@ -538,7 +584,11 @@ def minhash_lsh_dupes(
     """
     n = _doc_count(df, n_docs)
     stop = sampled_stop_shingles(df, id_col, text_col, n_docs=n)
-    cands = minhash_candidates(df, id_col, text_col, stop=stop)  # local, small
+    cands = minhash_candidates(  # frozen: locally (small) or to parquet
+        df, id_col, text_col, stop=stop,
+        materialize=materialize,
+        out_path=f"{out_path}.cands" if out_path else None,
+    )
 
     # exact verification recomputes (stop-filtered) shingle sets for docs
     # that appear in some candidate pair — a semi-join cuts the corpus to
@@ -573,6 +623,6 @@ def minhash_lsh_dupes(
             )
             .select("url_a", "url_b", "shared", "na", "nb")
         )
-        return materialize_local(result)
+        return util.materialize(result, materialize, out_path)
     finally:
         sh.unpersist()

@@ -1,0 +1,109 @@
+"""Path-mode materialization for the dedup pair family.
+
+The 100 TB contract: a template-heavy corpus can yield a pair list of
+billions of rows that no driver holds, so every pair operator must be able
+to land its result (and its internal frozen intermediates — the id map,
+the LSH candidate list) in parquet with NO driver round-trip. Proven here
+by rigging util.materialize_local to raise and running the whole family in
+``materialize="path"`` mode against the local-mode results.
+"""
+
+import pytest
+
+from logagg import dedup, util
+
+
+def _pages(spark, pages_cache):
+    return spark.read.parquet(str(pages_cache / "pages.parquet"))
+
+
+def _pairs_set(rows):
+    return {(r["url_a"], r["url_b"], r["shared"], r["na"], r["nb"]) for r in rows}
+
+
+def _forbid_driver_materialize(monkeypatch):
+    def boom(df):
+        raise AssertionError("driver materialization (toPandas) reached in path mode")
+
+    monkeypatch.setattr(util, "materialize_local", boom)
+
+
+def test_jaccard_pairs_path_mode_no_driver_roundtrip(
+    spark, pages_cache, tmp_path, monkeypatch
+):
+    pages = _pages(spark, pages_cache)
+    expected = _pairs_set(dedup.jaccard_pairs(pages).collect())
+    _forbid_driver_materialize(monkeypatch)
+    out = str(tmp_path / "pairs")
+    got = dedup.jaccard_pairs(pages, materialize="path", out_path=out)
+    assert _pairs_set(got.collect()) == expected
+    # durable: re-readable as a plain table without re-running the operator
+    assert _pairs_set(spark.read.parquet(out).collect()) == expected
+
+
+def test_minhash_and_simhash_path_mode(spark, pages_cache, tmp_path, monkeypatch):
+    pages = _pages(spark, pages_cache)
+    mh_expected = _pairs_set(dedup.minhash_lsh_dupes(pages).collect())
+    sh_expected = {
+        (r["url_a"], r["url_b"], r["hamming"])
+        for r in dedup.simhash_dupes(pages).collect()
+    }
+    _forbid_driver_materialize(monkeypatch)
+    mh = dedup.minhash_lsh_dupes(pages, materialize="path", out_path=str(tmp_path / "mh"))
+    sh = dedup.simhash_dupes(pages, materialize="path", out_path=str(tmp_path / "sh"))
+    assert _pairs_set(mh.collect()) == mh_expected
+    assert {
+        (r["url_a"], r["url_b"], r["hamming"]) for r in sh.collect()
+    } == sh_expected
+
+
+def test_dup_clusters_end_to_end_without_driver(
+    spark, pages_cache, tmp_path, monkeypatch
+):
+    """pairs → clusters entirely through parquet: the exact flow the bench
+    and a production pipeline use (jaccard path mode feeds dup_clusters)."""
+    pages = _pages(spark, pages_cache)
+    expected = {(r["url"], r["cluster"]) for r in dedup.dup_clusters(pages).collect()}
+    _forbid_driver_materialize(monkeypatch)
+    pairs = dedup.jaccard_pairs(
+        pages, materialize="path", out_path=str(tmp_path / "pairs")
+    )
+    got = dedup.dup_clusters(
+        pages,
+        pairs=pairs,
+        checkpoint_dir=str(tmp_path / "cc"),
+        materialize="path",
+        out_path=str(tmp_path / "clusters"),
+    )
+    assert {(r["url"], r["cluster"]) for r in got.collect()} == expected
+    assert {
+        (r["url"], r["cluster"])
+        for r in spark.read.parquet(str(tmp_path / "clusters")).collect()
+    } == expected
+
+
+def test_materialize_mode_validation(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="path"):
+        util.materialize(df, "path")  # path mode needs a target
+    with pytest.raises(ValueError, match="lazy"):
+        util.materialize(df, "lazy")  # documented non-mode
+
+
+def test_dup_clusters_refuses_default_checkpoint_on_nonlocal_master():
+    """A driver-local mkdtemp default is invisible to remote executors —
+    must raise, not silently read empty state (ADVICE r3)."""
+
+    class _Conf:
+        @staticmethod
+        def get(key, default=None):
+            return "spark://cluster:7077"
+
+    class _Spark:
+        conf = _Conf()
+
+    class _DF:
+        sparkSession = _Spark()
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        dedup.dup_clusters(_DF(), pairs=object())
