@@ -161,17 +161,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # BPE-ish token budgeting (the second token contract from the brief:
     # whitespace tokens above, GPT-2-shaped pre-tokens here — pure JVM)
+    # the token count is projected ONCE (withColumn) and both aggregates
+    # consume the column — inlining it into sum() and max() would run the
+    # dominant regexp_extract_all twice per row (Catalyst keeps the
+    # projection: CollapseProject refuses to duplicate non-cheap exprs)
     q["doc_bpe_token_stats"] = lambda spark, sf: (
         _tbl(spark, sf, "documents")
+        .withColumn("_bpe", textstats.bpe_token_count(F.col("text")).cast("long"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(textstats.bpe_token_count(F.col("text")).cast("long")).alias(
-                "total_bpe_tokens"
-            ),
-            F.max(textstats.bpe_token_count(F.col("text")).cast("long")).alias(
-                "max_bpe_tokens"
-            ),
+            F.sum("_bpe").alias("total_bpe_tokens"),
+            F.max("_bpe").alias("max_bpe_tokens"),
         )
     )
     q["doc_quality_by_source"] = lambda spark, sf: (
@@ -910,9 +911,14 @@ def oracle_sql() -> dict[str, str]:
 # agree on the ASCII-pinned textstats pattern
 _BPE_RE = textstats.BPE_SPLIT_RE
 
+# query ids come from the content-independent hash-rank sample (the rule
+# similarity.hash_sample_ids / refsketch.hash_sample_ids_py implement):
+# smallest 8 ids under (md5(str(id)), id) — identical semantics in DuckDB
 _ANN_ORACLE = (
-    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
-    "FROM embeddings WHERE vec_id < 8), "
+    "WITH sel AS (SELECT vec_id FROM embeddings "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
+    "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+    "FROM embeddings WHERE vec_id IN (SELECT vec_id FROM sel)), "
     "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
     "s AS (SELECT qid, nid, list_cosine_similarity(qe, e) AS sim "
     "FROM q CROSS JOIN c WHERE nid <> qid) "

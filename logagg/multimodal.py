@@ -10,6 +10,7 @@ change that does not touch the plan.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from typing import Iterator
 
 import pandas as pd
@@ -21,6 +22,12 @@ DECODE_SCHEMA = (
     "url string, media_kind string, byte_len long, magic string, "
     "width int, height int, feature0 double, feature1 double"
 )
+
+# explicit codec probe: the stub kernel stays ONLY because no image codec
+# exists in this runtime. If this ever flips to True, swap _fake_decode for
+# the real decode inside _decode_batches (the plan does not change) — a
+# test asserts on this flag so the flip is loud, not silent.
+REAL_CODECS_AVAILABLE = importlib.util.find_spec("PIL") is not None
 
 
 def html_meta(pages: DataFrame) -> DataFrame:

@@ -180,6 +180,14 @@ def connected_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
 # ------------------------------------------------------------ ANN twins
 
 
+def hash_sample_ids_py(ids: list, n: int) -> list:
+    """Twin of similarity.hash_sample_ids: the n ids with the smallest
+    (md5(str(id)), id) rank — content-independent, id-type-agnostic.
+    md5 hex compares identically as a lowercase ASCII string in Spark,
+    DuckDB, and Python."""
+    return sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:n]
+
+
 def _cos_catalyst(a: list[float], b: list[float]) -> float:
     """Cosine exactly as Catalyst evaluates logagg.similarity._cosine:
     three sequential left-to-right float64 folds, then dot/(sqrt·sqrt)."""
@@ -213,9 +221,10 @@ def expected_ann_lsh(
     bits = (mat @ planes.T) > 0
     codes = (bits @ (1 << np.arange(n_planes))).astype(np.int64)
     ids = np.asarray(vec_ids, dtype=np.int64)
+    q_set = set(hash_sample_ids_py([int(i) for i in ids], n_queries))
     rows: dict[str, list] = {"qid": [], "nid": [], "rank": []}
     emb_lists = [[float(x) for x in mat[i]] for i in range(len(ids))]
-    for qi in np.flatnonzero(ids < n_queries):
+    for qi in np.flatnonzero([int(i) in q_set for i in ids]):
         scored = []
         for ci in np.flatnonzero(codes == codes[qi]):
             if ids[ci] == ids[qi]:
@@ -238,22 +247,26 @@ def expected_ann_ivf(
 ) -> dict[str, list]:
     """Expected output of similarity.ann_ivf. The coarse quantizer (k-means
     centroids) is a MODEL PARAMETER shared with the operator — both train
-    via similarity._kmeans_lite on the deterministic vec_id<4096 sample —
-    while assignment, probing and re-ranking are recomputed here
+    via similarity._kmeans_lite on the deterministic hash-rank sample
+    (smallest IVF_TRAIN_SAMPLE ids under (md5(str(id)), id), in rank
+    order — sample ORDER is part of the spec: k-means seeding indexes into
+    it) — while assignment, probing and re-ranking are recomputed here
     independently (same numpy expressions ⇒ same floats on one machine)."""
-    from logagg.similarity import _kmeans_lite
+    from logagg.similarity import IVF_TRAIN_SAMPLE, _kmeans_lite
 
     ids = np.asarray(vec_ids, dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
     mat = emb32.astype(np.float64)
-    sample = mat[order[ids[order] < 4096]]
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    sample_ids = hash_sample_ids_py([int(i) for i in ids], IVF_TRAIN_SAMPLE)
+    sample = mat[[id_to_row[i] for i in sample_ids]]
     cents = _kmeans_lite(sample, n_centroids)
     centsn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cell = (matn @ centsn.T).argmax(axis=1)
 
-    q_mask = ids < n_queries
+    q_set = set(hash_sample_ids_py([int(i) for i in ids], n_queries))
+    q_mask = np.array([int(i) in q_set for i in ids])
     qn = matn[q_mask]
     q_ids = ids[q_mask]
     probe = np.argsort(-(qn @ centsn.T), axis=1)[:, :nprobe]

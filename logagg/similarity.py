@@ -31,6 +31,29 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def hash_sample_ids(df: DataFrame, id_col: str, n: int) -> list:
+    """Deterministic, content-independent sample: the ``n`` ids with the
+    smallest ``(md5(str(id)), id)`` rank.
+
+    This replaces id-range cuts (``vec_id < n``), which silently assume
+    dense integer ids — a url-keyed 100 TB corpus has none. The md5 rank is
+    uniform over any id type, independent of the row's payload (so
+    re-embedding a corpus never changes the sample), and expressible
+    identically in every engine (Spark ``md5(cast(id as string))``, DuckDB
+    ``md5(CAST(id AS VARCHAR))``, Python ``hashlib.md5(str(id))``; twin in
+    logagg.refsketch.hash_sample_ids_py). orderBy+limit plans as
+    TakeOrdered — O(n·log k) per partition plus a tiny driver merge, no
+    full sort at scale."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"))
+        .withColumn("_hr", F.md5(F.col("_id").cast("string").cast("binary")))
+        .orderBy("_hr", "_id")
+        .limit(n)
+        .collect()
+    )
+    return [r["_id"] for r in rows]
+
+
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
@@ -39,13 +62,15 @@ def _cosine(a, b):
 
 
 def ann_bruteforce(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFrame:
-    """Exact cosine top-k of every corpus vector for the first ``n_queries``
-    ids. Output (qid, nid, rank) — rank 1..k by (sim desc, nid asc)."""
+    """Exact cosine top-k of every corpus vector for the ``n_queries``
+    hash-sampled query ids. Output (qid, nid, rank) — rank 1..k by
+    (sim desc, nid asc)."""
     base = embeddings.select(
         F.col("vec_id"), _as_double(F.col("embedding")).alias("emb")
     )
+    qids = hash_sample_ids(embeddings, "vec_id", n_queries)
     queries = (
-        base.filter(F.col("vec_id") < n_queries)
+        base.filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
     )
     scored = (
@@ -108,7 +133,9 @@ def ann_bruteforce_numpy(embeddings: DataFrame, n_queries: int = 8, k: int = ANN
     """Same result as ann_bruteforce, computed as partition-local GEMM +
     per-partition top-k, then a global window top-k over the tiny residue."""
     qrows = (
-        embeddings.filter(F.col("vec_id") < n_queries)
+        embeddings.filter(
+            F.col("vec_id").isin(hash_sample_ids(embeddings, "vec_id", n_queries))
+        )
         .select("vec_id", "embedding")
         .collect()
     )
@@ -127,6 +154,7 @@ def ann_bruteforce_numpy(embeddings: DataFrame, n_queries: int = 8, k: int = ANN
 
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 4096
 
 
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 0xC3) -> np.ndarray:
@@ -159,19 +187,23 @@ def ann_ivf(
     touches ~nprobe/n_centroids of the corpus. Recall < 1 by construction
     (cell-boundary misses), measured in tests.
     """
-    # deterministic training sample (first 4096 ids, id-ordered): limit()
-    # without a sort depends on partition order, which would make the
-    # quantizer — and thus the whole result — non-reproducible
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in embeddings.filter(F.col("vec_id") < 4096)
-            .orderBy("vec_id")
-            .select("embedding")
-            .collect()
-        ],
-        dtype=np.float64,
+    # deterministic training sample: the IVF_TRAIN_SAMPLE vectors whose ids
+    # rank smallest under the content-independent (md5(str(id)), id) rule —
+    # a uniform sample that works for url-keyed corpora too (an id-range
+    # cut assumes dense ints). Row ORDER is part of the quantizer spec
+    # (k-means seeding indexes into the sample), so the sample keeps its
+    # hash-rank order; limit() without a sort would be partition-order-
+    # dependent and make the whole result non-reproducible.
+    sample_rows = (
+        embeddings.withColumn(
+            "_hr", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .orderBy("_hr", "vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
     )
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     cents = _kmeans_lite(sample, n_centroids)
     centsn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -191,7 +223,13 @@ def ann_ivf(
         assign, schema=f"vec_id long, embedding {emb_field}, cell int"
     )
 
-    qrows = embeddings.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    qrows = (
+        embeddings.filter(
+            F.col("vec_id").isin(hash_sample_ids(embeddings, "vec_id", n_queries))
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qnp = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qn = qnp / np.linalg.norm(qnp, axis=1, keepdims=True)
@@ -249,7 +287,9 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFr
     bucketed = embeddings.select("vec_id", "embedding").mapInPandas(
         bucketize, schema=f"vec_id long, bucket long, embedding {emb_field}"
     )
-    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+    queries = bucketed.filter(
+        F.col("vec_id").isin(hash_sample_ids(embeddings, "vec_id", n_queries))
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("bucket"),
         F.col("embedding").alias("qemb"),

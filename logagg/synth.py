@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 9
+GEN_VERSION = 10  # v10: ANN query/training sample via hash-rank rule
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}

@@ -8,6 +8,31 @@ def _emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
+def test_hash_sample_content_independent_and_twin_equal(spark):
+    """The query/training sample rule must depend only on the id column
+    (re-embedding a corpus cannot change the sample), match the pure-Python
+    twin exactly, and work for url-style string keys — the round-3 gap:
+    id-range cuts (vec_id < n) assume dense integer ids."""
+    from pyspark.sql import functions as F
+
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    base = similarity.hash_sample_ids(emb, "vec_id", 8)
+    perturbed = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2 + 1)
+    )
+    assert similarity.hash_sample_ids(perturbed, "vec_id", 8) == base
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    assert refsketch.hash_sample_ids_py(ids, 8) == base
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 7}.example.com/p/{i:08d}",) for i in range(500)],
+        "url string",
+    )
+    got = similarity.hash_sample_ids(urls, "url", 8)
+    assert got == refsketch.hash_sample_ids_py([r["url"] for r in urls.collect()], 8)
+
+
 def test_bruteforce_formulations_agree(spark):
     from logagg import similarity
 
