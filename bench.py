@@ -560,6 +560,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument(
+        "--skip-headline",
+        action="store_true",
+        help="ladder only — for re-measuring scaling on a calmer box",
+    )
     args = ap.parse_args()
 
     if args.scaling_worker:
@@ -584,28 +589,31 @@ def main() -> None:
 
     records = 0
     pipeline_sec = float("inf")
-    for _ in range(HEADLINE_PASSES):
-        pipeline_df = _pipeline(spark, args.sf_dir)
-        t0 = time.time()
-        records = int(pipeline_df.agg(F.sum("n_rows")).collect()[0][0])
-        pipeline_sec = min(pipeline_sec, time.time() - t0)
-    queries["e2e_pipeline"] = round(pipeline_sec, 3)
-    total += pipeline_sec
-
-    for name, (fn, action) in _headline().items():
-        dt = float("inf")
+    if not args.skip_headline:
         for _ in range(HEADLINE_PASSES):
+            pipeline_df = _pipeline(spark, args.sf_dir)
             t0 = time.time()
-            try:
-                action(fn(spark, args.sf_dir))
-                dt = min(dt, time.time() - t0)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench query {name} failed: {e}", file=sys.stderr)
-                dt = -1.0
-                break
-        queries[name] = round(dt, 3)
-        if dt > 0:
-            total += dt
+            records = int(pipeline_df.agg(F.sum("n_rows")).collect()[0][0])
+            pipeline_sec = min(pipeline_sec, time.time() - t0)
+        queries["e2e_pipeline"] = round(pipeline_sec, 3)
+        total += pipeline_sec
+
+        for name, (fn, action) in _headline().items():
+            dt = float("inf")
+            for _ in range(HEADLINE_PASSES):
+                t0 = time.time()
+                try:
+                    action(fn(spark, args.sf_dir))
+                    dt = min(dt, time.time() - t0)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench query {name} failed: {e}", file=sys.stderr)
+                    dt = -1.0
+                    break
+            queries[name] = round(dt, 3)
+            if dt > 0:
+                total += dt
+    else:
+        pipeline_sec = 0.0
 
     scaling = None if args.skip_scaling else run_scaling(args.sf_dir)
 
@@ -621,7 +629,8 @@ def main() -> None:
         "total_sec": round(total, 3),
         "scaling": scaling,
     }
-    if scaling:
+    if scaling and not args.skip_headline:
+        # a ladder-only rerun must not clobber BENCH.md's headline table
         write_bench_md(result)
     print(json.dumps(result))
 
