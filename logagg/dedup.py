@@ -283,13 +283,25 @@ def dup_clusters(
     spark = df.sparkSession
     if pairs is None:
         pairs = jaccard_pairs(df, id_col, text_col, n_docs=n_docs)
+    if checkpoint_dir is None:
+        # derive from the session's checkpoint config when set — that dir is
+        # executor-reachable by contract, so clustering works on a real
+        # cluster with zero extra arguments (fresh subdir per run; left in
+        # place like an explicit checkpoint_dir, since the lazy result reads
+        # from it)
+        sc_ckpt = spark.sparkContext.getCheckpointDir()
+        if sc_ckpt:
+            import uuid
+
+            checkpoint_dir = f"{sc_ckpt.rstrip('/')}/logagg-cc-{uuid.uuid4().hex[:8]}"
     owns_tmp = checkpoint_dir is None
     if owns_tmp and not spark.conf.get("spark.master", "").startswith("local"):
         # a driver-local mkdtemp path is not visible to remote executors —
         # silently-empty reads, not an error, so refuse up front
         raise ValueError(
             "dup_clusters needs an explicit executor-reachable checkpoint_dir "
-            "on a non-local master (the default is a driver-local temp dir)"
+            "(or spark.sparkContext.setCheckpointDir) on a non-local master — "
+            "the default is a driver-local temp dir"
         )
     tmp = checkpoint_dir or tempfile.mkdtemp(prefix="logagg-cc-")
     try:

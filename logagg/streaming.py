@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logagg import parse
+from logagg import parse, route
 from logagg.schemas import PAGES_SCHEMA
 
 
@@ -96,6 +96,53 @@ def run_streaming_dedup_to_memory(
         query_name,
         f"SELECT url, text_md5 FROM {query_name}",
     )
+
+
+def run_streaming_route_multiplex(
+    spark: SparkSession,
+    pages_dir: str,
+    outdir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> dict[str, int]:
+    """Streaming form of the north-star fan-out: parse each micro-batch,
+    stamp the routing key, append partition-aware to the multiplexed sink
+    layout (node/log_type), and accumulate per-sink row counts — the
+    streaming twin of ``route.multiplex_write`` (routed-row-set equality
+    with the batch writer is pytest-pinned).
+
+    ``foreachBatch`` is the right shape here: the partitioned write fans a
+    micro-batch out to all N sinks in ONE pass, and the sink-side append is
+    driven per batch_id, which is what makes replay idempotent on a real
+    deployment (Iceberg append + batch-id watermark in snapshot metadata,
+    or the batch stage-ledger marker in the parquet fallback — a plain
+    file-sink append alone is at-least-once on retry). Runs all currently
+    available input (processAllAvailable) and returns the per-route counts.
+    """
+    counts: dict[str, int] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        routed = route.with_route(batch_df).persist()  # write + count, one compute
+        try:
+            routed.write.mode("append").partitionBy("node", "log_type").parquet(outdir)
+            for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect():
+                counts[r["route"]] = counts.get(r["route"], 0) + r["n"]
+        finally:
+            routed.unpersist()
+
+    parsed = parse.parsed_records(
+        stream_pages(spark, pages_dir, max_files_per_trigger)
+    )
+    q = (
+        parsed.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return counts
 
 
 def stateful_host_counts(pages_stream: DataFrame) -> DataFrame:

@@ -82,6 +82,27 @@ def test_dup_clusters_end_to_end_without_driver(
     } == expected
 
 
+def test_dup_clusters_derives_dir_from_session_checkpoint(
+    spark, pages_cache, tmp_path
+):
+    """With spark.sparkContext.setCheckpointDir configured (the
+    executor-reachable location by contract), dup_clusters needs no
+    explicit checkpoint_dir even on a cluster — it claims a fresh subdir
+    there and leaves the lazy result readable from it."""
+    pages = _pages(spark, pages_cache)
+    expected = {(r["url"], r["cluster"]) for r in dedup.dup_clusters(pages).collect()}
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "session-ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = dedup.dup_clusters(pages)
+        assert {(r["url"], r["cluster"]) for r in got.collect()} == expected
+        subdirs = list((tmp_path / "session-ckpt").glob("**/logagg-cc-*"))
+        assert subdirs, "expected a logagg-cc-* subdir under the session checkpoint dir"
+    finally:
+        sc.setCheckpointDir(None)  # Option(null) → None: reset for other tests
+
+
 def test_materialize_mode_validation(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="path"):
@@ -99,8 +120,14 @@ def test_dup_clusters_refuses_default_checkpoint_on_nonlocal_master():
         def get(key, default=None):
             return "spark://cluster:7077"
 
+    class _Sc:
+        @staticmethod
+        def getCheckpointDir():
+            return None  # no session checkpoint dir configured either
+
     class _Spark:
         conf = _Conf()
+        sparkContext = _Sc()
 
     class _DF:
         sparkSession = _Spark()

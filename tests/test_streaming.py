@@ -138,3 +138,31 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     got_norm = {(u, pd.Timestamp(s), pd.Timestamp(e), n) for u, s, e, n in got}
     assert got_norm == batch
     assert len(batch) > 1000
+
+
+def test_streaming_route_multiplex_equals_batch(spark, pages_cache, tmp_path):
+    """The streaming fan-out writer must produce the SAME routed row sets
+    and per-sink counts as the batch multiplexing writer (north-star
+    routed-row equality, streaming form)."""
+    from logagg import route
+
+    pages_dir = str(pages_cache / "pages.parquet")
+    counts = streaming.run_streaming_route_multiplex(
+        spark,
+        pages_dir,
+        str(tmp_path / "routed"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force multiple micro-batches through the sink
+    )
+    batch_parsed = parse.parsed_records(spark.read.parquet(pages_dir))
+    expected = {r["route"]: r["n"] for r in route.route_counts(batch_parsed).collect()}
+    assert counts == expected
+
+    streamed = spark.read.parquet(str(tmp_path / "routed"))
+    # physical fan-out layout exists (one dir per routing key prefix)
+    assert list((tmp_path / "routed").glob("node=*")), "partitioned sink layout missing"
+    # routed-row-set equality on the record identity (url, record_idx)
+    a = streamed.select("url", "record_idx")
+    b = batch_parsed.select("url", "record_idx")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
