@@ -83,6 +83,12 @@ CHECKS = {
         "must_not": [r"MapInPandas|ArrowEvalPython", r"ReadSchema:.*text"],
     },
     "signup_cohorts": {"must_not": [r"CartesianProduct"]},
+    # the dominant regex is projected ONCE and both aggregates consume the
+    # column — an inlined form would evaluate it per-aggregate (2× cost)
+    "doc_bpe_token_stats": {
+        "want": [r"regexp_extract_all"],
+        "count_max": {r"regexp_extract_all": 1},
+    },
 }
 
 
@@ -109,6 +115,11 @@ def main(only: list[str]) -> int:
             bad = bool(re.search(pat, plan))
             print(f"  [{'VIOLATION' if bad else 'ok'}] must_not: {pat}")
             rc |= 1 if bad else 0
+        for pat, mx in CHECKS.get(name, {}).get("count_max", {}).items():
+            n = len(re.findall(pat, plan))
+            ok = n <= mx
+            print(f"  [{'ok' if ok else 'VIOLATION'}] count_max {mx}: {pat} (found {n})")
+            rc |= 0 if ok else 1
     return rc
 
 
