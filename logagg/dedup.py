@@ -276,6 +276,14 @@ def dup_clusters(
     Convergence is proven, not assumed: the loop exits on a changed-label
     count of 0; exhausting ``max_iters`` first raises (silently-wrong
     cluster ids are worse than a crash).
+
+    ``checkpoint_dir`` defaults to the session's
+    ``sparkContext.getCheckpointDir()`` when set (executor-reachable by
+    contract; a fresh subdir is claimed per run), else a driver-local temp
+    dir — allowed only on a local master, refused otherwise.
+    ``materialize="path"`` + ``out_path`` writes the final labels to
+    parquet (the 100 TB result shape); the local default pulls the
+    bounded result off the temp checkpoint before it is removed.
     """
     import shutil
     import tempfile
