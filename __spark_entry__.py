@@ -204,10 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair lists land in parquet (materialize="path") — the bench-scale
     # contract: no driver round-trip anywhere in the pair family
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_dupes(
-        _pages(spark, sf), materialize="path", out_path=_derived_path(sf, "minhash_lsh")
+        _pages(spark, sf), materialize="path", out_path=_derived_path(spark, sf, "minhash_lsh")
     )
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_dupes(
-        _pages(spark, sf), materialize="path", out_path=_derived_path(sf, "simhash")
+        _pages(spark, sf), materialize="path", out_path=_derived_path(spark, sf, "simhash")
     )
     q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_dupes(
         _tbl(spark, sf, "embeddings")
@@ -354,7 +354,21 @@ from pathlib import Path as _Path
 _DERIVED_DIR = _Path(__file__).resolve().parent / ".cache" / "derived"
 
 
-def _derived_path(sf: str, name: str) -> str:
+def _derived_path(spark: SparkSession, sf: str, name: str) -> str:
+    """Executor-reachable parquet location for a derived artifact. Mirrors
+    the dup_clusters guard (logagg/dedup.py): on a non-local master the
+    repo-local default is NOT visible to remote executors (silently partial
+    per-executor writes, not an error), so derive from the session's
+    checkpoint dir when set and refuse the driver-local default otherwise."""
+    if not spark.conf.get("spark.master", "").startswith("local"):
+        sc_ckpt = spark.sparkContext.getCheckpointDir()
+        if not sc_ckpt:
+            raise ValueError(
+                f"materialize='path' for {name!r} needs an executor-reachable "
+                "location on a non-local master — call spark.sparkContext."
+                "setCheckpointDir(...) (the default is a driver-local repo path)"
+            )
+        return f"{sc_ckpt.rstrip('/')}/logagg-derived/{synth.cache_dir_for(sf).name}/{name}"
     out = _DERIVED_DIR / synth.cache_dir_for(sf).name
     out.mkdir(parents=True, exist_ok=True)
     return str(out / name)
@@ -372,7 +386,7 @@ _PAIRS_MEMO: dict[str, tuple[str, str]] = {}
 
 def _jaccard_pairs_cached(spark: SparkSession, sf: str) -> DataFrame:
     app = spark.sparkContext.applicationId
-    path = _derived_path(sf, "jaccard_pairs")
+    path = _derived_path(spark, sf, "jaccard_pairs")
     if _PAIRS_MEMO.get(sf) == (app, path):
         return spark.read.parquet(path)
     df = dedup.jaccard_pairs(_pages(spark, sf), materialize="path", out_path=path)

@@ -617,16 +617,22 @@ def main() -> None:
 
     scaling = None if args.skip_scaling else run_scaling(args.sf_dir)
 
+    skipped = bool(args.skip_headline)
     result = {
         "metric": "e2e_parse_enrich_aggregate_seconds",
-        "value": round(pipeline_sec, 3),
+        # a ladder-only artifact must not be misread as a 0-second headline
+        # run: value/records/rows_per_sec are null and flagged when skipped
+        "value": None if skipped else round(pipeline_sec, 3),
         "unit": "sec",
+        "headline_skipped": skipped,
         "queries": queries,
         "sf": _sf_value(args.sf_dir),
         "sf_dir": args.sf_dir,
-        "records": records,
-        "rows_per_sec": round(records / pipeline_sec) if pipeline_sec > 0 else None,
-        "total_sec": round(total, 3),
+        "records": None if skipped else records,
+        "rows_per_sec": (
+            round(records / pipeline_sec) if not skipped and pipeline_sec > 0 else None
+        ),
+        "total_sec": None if skipped else round(total, 3),
         "scaling": scaling,
     }
     if scaling and not args.skip_headline:

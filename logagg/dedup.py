@@ -283,14 +283,25 @@ def dup_clusters(
     dir — allowed only on a local master, refused otherwise.
     ``materialize="path"`` + ``out_path`` writes the final labels to
     parquet (the 100 TB result shape); the local default pulls the
-    bounded result off the temp checkpoint before it is removed.
+    bounded result off the temp checkpoint before it is removed. All
+    argument validation (mode, out_path, checkpoint reachability) runs
+    BEFORE any job, and when ``pairs`` is None the internal
+    ``jaccard_pairs`` call inherits the materialization mode (path mode
+    lands the from-scratch pair list under the checkpoint dir) — so the
+    expensive pair computation can neither be wasted by a late validation
+    failure nor forced through the driver.
     """
     import shutil
     import tempfile
 
     spark = df.sparkSession
-    if pairs is None:
-        pairs = jaccard_pairs(df, id_col, text_col, n_docs=n_docs)
+    # validate EVERYTHING before any job runs: pairs-from-scratch is the
+    # expensive step, and failing after it completes wastes the whole
+    # computation (ADVICE r4)
+    if materialize not in ("local", "path"):
+        raise ValueError(f"materialize must be 'local' or 'path', got {materialize!r}")
+    if materialize == "path" and not out_path:
+        raise ValueError("materialize='path' requires out_path")
     if checkpoint_dir is None:
         # derive from the session's checkpoint config when set — that dir is
         # executor-reachable by contract, so clustering works on a real
@@ -313,6 +324,19 @@ def dup_clusters(
         )
     tmp = checkpoint_dir or tempfile.mkdtemp(prefix="logagg-cc-")
     try:
+        if pairs is None:
+            # thread the caller's materialization mode through: in path mode
+            # the from-scratch pair list lands in parquet under the (already
+            # validated, executor-reachable) checkpoint dir — the driver
+            # never holds it
+            pairs = jaccard_pairs(
+                df,
+                id_col,
+                text_col,
+                n_docs=n_docs,
+                materialize=materialize,
+                out_path=f"{tmp}/pairs" if materialize == "path" else None,
+            )
         edges_path = f"{tmp}/edges"
         pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")).union(
             pairs.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))

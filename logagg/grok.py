@@ -42,6 +42,55 @@ _GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 _REGEX_META = set(".^$*+?()[]{}|")
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
+def _escape_atom(segment: str, i: int) -> tuple[str | None, int]:
+    """Decode the regex escape starting at ``segment[i] == '\\'``.
+
+    Returns ``(literal_char_or_None, next_index)``. The literal char is the
+    exact single character the escape is guaranteed to match when that is
+    knowable (``\\xHH``, ``\\uHHHH``, ``\\UHHHHHHHH``, ``\\N{NAME}``,
+    escaped punctuation); ``None`` means class/anchor/backreference/octal/
+    unknown — variable text, the caller must flush the current run.
+
+    ``next_index`` always skips the WHOLE escape, so its payload characters
+    are never misread as trailing literal text — the round-4 unsoundness
+    was exactly that: ``\\xaa`` (one escape matching 'ª') parsed as a class
+    escape ``\\x`` followed by the "literal" run ``aa``, making
+    ``pushdown_filter`` silently drop matching rows.
+    """
+    nxt = segment[i + 1] if i + 1 < len(segment) else ""
+    if not nxt:  # trailing backslash — malformed; consume to end
+        return None, len(segment)
+    if not nxt.isalnum():
+        return nxt, i + 2  # escaped metachar/punct matches itself
+    for marker, width in (("x", 2), ("u", 4), ("U", 8)):
+        if nxt == marker:
+            digits = segment[i + 2 : i + 2 + width]
+            if len(digits) == width and all(c in _HEX_DIGITS for c in digits):
+                return chr(int(digits, 16)), i + 2 + width
+            return None, i + 2  # malformed (re.compile rejects it anyway)
+    if nxt == "N" and i + 2 < len(segment) and segment[i + 2] == "{":
+        close = segment.find("}", i + 3)
+        if close == -1:
+            return None, len(segment)
+        try:
+            import unicodedata
+
+            return unicodedata.lookup(segment[i + 3 : close]), close + 1
+        except KeyError:
+            return None, close + 1
+    if nxt.isdigit():
+        # backreference or octal escape — ambiguous (\1 vs \101) and either
+        # way variable/derived text: flush, and consume the whole digit run
+        # so no digit leaks into a claimed literal
+        j = i + 1
+        while j < len(segment) and segment[j].isdigit():
+            j += 1
+        return None, j
+    return None, i + 2  # \d \w \s \b \A \Z \n \t ... — variable or unhandled
+
 
 def _has_unescaped(segment: str, chars: str) -> bool:
     """True if any of ``chars`` appears unescaped in the segment (proper
@@ -97,9 +146,12 @@ def _literal_runs(segment: str) -> list[str]:
     a class that spans beyond it). A balanced character class ``[...]`` is
     one variable position: it breaks the current run but keeps the segment
     analyzable. Quantifiers make the preceding atom optional/repeated: the
-    last run char is dropped (a just-skipped class pops nothing). ``\\X``
-    where X is alphanumeric is a class escape (\\d, \\w, \\s...) and breaks
-    the run; other escapes contribute X itself as a literal.
+    last run char is dropped (a just-skipped class pops nothing). Escapes
+    are decoded atomically by ``_escape_atom``: ``\\xHH``/``\\uHHHH``/
+    ``\\UHHHHHHHH``/``\\N{...}`` contribute their ONE decoded char (never
+    their payload digits), escaped punctuation contributes its char, and
+    class escapes (\\d, \\w, \\s, anchors, backreferences, octal) break
+    the run.
     """
     if _has_unescaped(segment, "|()") or not _brackets_balanced(segment):
         return []
@@ -114,13 +166,12 @@ def _literal_runs(segment: str) -> list[str]:
     i = 0
     while i < len(segment):
         ch = segment[i]
-        if ch == "\\" and i + 1 < len(segment):
-            nxt = segment[i + 1]
-            if nxt.isalnum():
-                flush()  # class escape — matches variable text
+        if ch == "\\":
+            lit, i = _escape_atom(segment, i)
+            if lit is None:
+                flush()  # variable text (class escape / backref / octal)
             else:
-                cur.append(nxt)
-            i += 2
+                cur.append(lit)
             continue
         if ch == "[":
             flush()  # one variable char; skip to the closing bracket

@@ -113,20 +113,48 @@ def run_streaming_route_multiplex(
 
     ``foreachBatch`` is the right shape here: the partitioned write fans a
     micro-batch out to all N sinks in ONE pass, and the sink-side append is
-    driven per batch_id, which is what makes replay idempotent on a real
-    deployment (Iceberg append + batch-id watermark in snapshot metadata,
-    or the batch stage-ledger marker in the parquet fallback — a plain
-    file-sink append alone is at-least-once on retry). Runs all currently
-    available input (processAllAvailable) and returns the per-route counts.
+    keyed by batch_id through a commit ledger (``<outdir>/_batch_ledger/
+    batch-<id>.json``): a batch whose marker exists is SKIPPED on replay and
+    its per-route counts are read back from the marker, so re-delivery after
+    a post-commit failure (the common foreachBatch retry window: sink
+    committed, checkpoint offset not yet) neither duplicates sink rows nor
+    double-counts. The marker is written AFTER the append succeeds, so a
+    crash mid-append still replays that batch — at-least-once across that
+    narrower window; closing it needs a transactional table format (the
+    Iceberg branch in logagg.catalog, batch-id watermark in snapshot
+    metadata). Runs all currently available input (processAllAvailable)
+    and returns the per-route counts, replay-stable.
+
+    The ledger IO runs in the foreachBatch body — i.e. ON THE DRIVER (only
+    the DataFrame write distributes) — so plain posix IO is correct for any
+    driver-visible outdir; an object-store outdir would swap these few
+    lines for the Hadoop FileSystem API, same protocol.
     """
+    import json
+    from pathlib import Path
+
     counts: dict[str, int] = {}
+    ledger = Path(outdir) / "_batch_ledger"
+    ledger.mkdir(parents=True, exist_ok=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = ledger / f"batch-{batch_id}.json"
+        if marker.exists():  # replayed batch: already committed — skip append
+            for rte, n in json.loads(marker.read_text()).items():
+                counts[rte] = counts.get(rte, 0) + n
+            return
         routed = route.with_route(batch_df).persist()  # write + count, one compute
         try:
             routed.write.mode("append").partitionBy("node", "log_type").parquet(outdir)
-            for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect():
-                counts[r["route"]] = counts.get(r["route"], 0) + r["n"]
+            batch_counts = {
+                r["route"]: r["n"]
+                for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()
+            }
+            tmp = marker.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(batch_counts))
+            tmp.rename(marker)  # atomic commit of the ledger entry
+            for rte, n in batch_counts.items():
+                counts[rte] = counts.get(rte, 0) + n
         finally:
             routed.unpersist()
 

@@ -83,6 +83,37 @@ def test_literal_runs_conservative():
     assert _literal_runs(r"a{2,3}b") == ["b"]
 
 
+def test_numeric_escape_soundness():
+    """Round-4 verdict bug: ``\\xaa`` is ONE escape matching 'ª', but the
+    old parser flushed at ``\\x`` and claimed the run "aa" — an unsound
+    literal that made pushdown_filter silently drop matching rows. Numeric
+    escapes must be consumed whole: decoded to their one char where
+    knowable, voided otherwise."""
+    # hex/unicode escapes decode to the exact char they match
+    assert GrokPattern(r"\xaa").required_literal == "\xaa"
+    assert GrokPattern(r"foo\x41bar").required_literal == "fooAbar"
+    assert GrokPattern(r"éclair %{INT:n}").required_literal == "éclair "
+    assert GrokPattern(r"\U0001F600 %{INT:n}").required_literal == "\U0001F600 "
+    assert GrokPattern(r"\N{BULLET} item %{INT:n}").required_literal == "• item "
+    # octal escapes and backreferences are ambiguous → variable, and their
+    # digits must never leak into a claimed literal
+    assert _literal_runs(r"\101bc") == ["bc"]
+    assert _literal_runs(r"\0bc") == ["bc"]
+    # a quantifier binds to the WHOLE decoded escape atom
+    assert _literal_runs(r"ab\x61*") == ["ab"]
+    # decoded char that happens to be a regex metachar stays literal
+    assert _literal_runs(r"a\x2ab") == ["a*b"]
+    # the invariant end-to-end: every match of the pattern contains the claim
+    for expr in (r"\xaa", r"foo\x41bar", r"éclair %{INT:n}"):
+        p = GrokPattern(expr)
+        rx = re.compile(p.regex)
+        import hypothesis.strategies as st
+        from hypothesis import find
+
+        probe = find(st.from_regex(p.regex), lambda s: rx.search(s) is not None)
+        assert p.required_literal in probe, (expr, probe)
+
+
 def test_pushdown_filter_never_drops_matching_pages(spark, pages_cache):
     """The scan-level pre-filter is conservative: grok extraction over the
     FILTERED pages equals extraction over ALL pages (same matches), and the

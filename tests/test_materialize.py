@@ -82,6 +82,29 @@ def test_dup_clusters_end_to_end_without_driver(
     } == expected
 
 
+def test_dup_clusters_pairs_from_scratch_path_mode(
+    spark, pages_cache, tmp_path, monkeypatch
+):
+    """With pairs=None, the internal jaccard_pairs call must inherit path
+    mode (pair list lands under the checkpoint dir, never the driver), and
+    argument validation must run BEFORE the pair computation (ADVICE r4)."""
+    pages = _pages(spark, pages_cache)
+    expected = {(r["url"], r["cluster"]) for r in dedup.dup_clusters(pages).collect()}
+    _forbid_driver_materialize(monkeypatch)
+    got = dedup.dup_clusters(
+        pages,
+        checkpoint_dir=str(tmp_path / "cc"),
+        materialize="path",
+        out_path=str(tmp_path / "clusters"),
+    )
+    assert {(r["url"], r["cluster"]) for r in got.collect()} == expected
+    # validation-before-work: a bad mode fails instantly, no Spark job
+    with pytest.raises(ValueError, match="materialize"):
+        dedup.dup_clusters(pages, materialize="bogus")
+    with pytest.raises(ValueError, match="out_path"):
+        dedup.dup_clusters(pages, materialize="path")
+
+
 def test_dup_clusters_derives_dir_from_session_checkpoint(
     spark, pages_cache, tmp_path
 ):
@@ -134,3 +157,35 @@ def test_dup_clusters_refuses_default_checkpoint_on_nonlocal_master():
 
     with pytest.raises(ValueError, match="checkpoint_dir"):
         dedup.dup_clusters(_DF(), pairs=object())
+
+
+def test_derived_path_mirrors_nonlocal_guard():
+    """__spark_entry__._derived_path hands the dedup pair family its
+    path-mode out_path; on a non-local master it must derive from the
+    session checkpoint dir (executor-reachable by contract) and refuse the
+    driver-local repo default (ADVICE r4)."""
+    import __spark_entry__ as entrymod
+
+    def _fake_spark(ckpt):
+        class _Conf:
+            @staticmethod
+            def get(key, default=None):
+                return "spark://cluster:7077"
+
+        class _Sc:
+            @staticmethod
+            def getCheckpointDir():
+                return ckpt
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _Sc()
+
+        return _Spark()
+
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        entrymod._derived_path(_fake_spark(None), "/root/testdata/sf0.001", "minhash_lsh")
+    got = entrymod._derived_path(
+        _fake_spark("hdfs://nn/ckpt/"), "/root/testdata/sf0.001", "minhash_lsh"
+    )
+    assert got == "hdfs://nn/ckpt/logagg-derived/sf0.001/minhash_lsh"

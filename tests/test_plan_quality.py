@@ -30,3 +30,11 @@ def test_headline_plans_have_scale_properties(spark, pages_cache):
             if re.search(pat, plan):
                 failures.append(f"{name}: violated {pat}")
     assert not failures, failures
+
+
+def test_grok_escape_pushdown_contract(spark):
+    """Numeric-escape patterns must either push the DECODED literal or no
+    literal at all — CI pin for the round-4 ``\\xaa`` unsoundness class."""
+    from explain_plans import grok_escape_contract
+
+    assert grok_escape_contract(spark, "/root/testdata/sf0.001") == []

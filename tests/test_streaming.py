@@ -166,3 +166,22 @@ def test_streaming_route_multiplex_equals_batch(spark, pages_cache, tmp_path):
     b = batch_parsed.select("url", "record_idx")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+    # replay idempotency via the batch-id ledger: wipe the checkpoint so the
+    # file source re-delivers ALL input as batches 0..N again (same listing
+    # order, same maxFilesPerTrigger → same batch grouping); every batch's
+    # commit marker is present, so the sink must skip each append and read
+    # counts back from the ledger — no duplicate rows, identical counts
+    import shutil
+
+    total_before = streamed.count()
+    shutil.rmtree(tmp_path / "ckpt")
+    counts2 = streaming.run_streaming_route_multiplex(
+        spark,
+        pages_dir,
+        str(tmp_path / "routed"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert counts2 == expected
+    assert spark.read.parquet(str(tmp_path / "routed")).count() == total_before

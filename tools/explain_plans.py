@@ -92,6 +92,52 @@ CHECKS = {
 }
 
 
+def grok_escape_contract(spark, sf_dir: str = SF_DIR) -> list[str]:
+    """CI-pin the grok pushdown soundness contract from BOTH sides for
+    patterns containing numeric escapes (the round-4 unsoundness class):
+
+    * a ``\\xHH`` escape must push its DECODED char as the scan literal
+      (``fail\\x3dcode`` → ``StringContains(text,fail=code)``), never the
+      raw hex digits;
+    * an octal/backreference escape is variable text — the derived filter
+      must degrade to lit(True), i.e. NO StringContains reaches the scan.
+
+    Returns a list of failure strings (empty = contract holds).
+    """
+    import __spark_entry__ as entrymod
+    from logagg.grok import GrokPattern, pushdown_filter
+
+    failures: list[str] = []
+    pages = entrymod._pages(spark, sf_dir)
+
+    hex_pat = GrokPattern(r"fail\x3dcode %{INT:n}")
+    if hex_pat.scan_literal != "fail=code":
+        failures.append(f"hex escape literal wrong: {hex_pat.scan_literal!r}")
+    plan_df = pages.filter(pushdown_filter("text", hex_pat)).select("url")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    if not re.search(r"PushedFilters: \[.*StringContains\(text,fail=code\)", buf.getvalue()):
+        failures.append("hex-escape pattern: decoded literal not pushed to scan")
+    if re.search(r"StringContains\(text,(?:3d|aa|x3d)", buf.getvalue()):
+        failures.append("hex-escape pattern: RAW HEX DIGITS pushed (unsound)")
+
+    octal_pat = GrokPattern(r"\101\102 %{INT:n}")
+    if octal_pat.scan_literal:
+        failures.append(f"octal escape claimed a literal: {octal_pat.scan_literal!r}")
+    f = pushdown_filter("text", octal_pat)
+    plan_df2 = pages.filter(f).select("url")
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        plan_df2.explain("formatted")
+    if re.search(r"PushedFilters: \[.*StringContains", buf2.getvalue()):
+        failures.append("octal-escape pattern: a StringContains was pushed (must be lit(True))")
+    # lit(True) must be a true no-op, not just unpushed
+    if pages.filter(f).count() != pages.count():
+        failures.append("octal-escape filter dropped rows (must be a no-op)")
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -120,6 +166,14 @@ def main(only: list[str]) -> int:
             ok = n <= mx
             print(f"  [{'ok' if ok else 'VIOLATION'}] count_max {mx}: {pat} (found {n})")
             rc |= 0 if ok else 1
+    if not only:
+        print(f"{'='*70}\ngrok escape-pushdown contract\n{'='*70}")
+        fails = grok_escape_contract(spark)
+        for msg in fails:
+            print(f"  [VIOLATION] {msg}")
+        if not fails:
+            print("  [ok] decoded-literal pushed; octal degrades to lit(True)")
+        rc |= 1 if fails else 0
     return rc
 
 
