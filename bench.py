@@ -47,21 +47,28 @@ def replicated_pages_dir(sf_dir: str, replicate: int) -> str:
     and confounds the ladder's per-record CPU ledger (round-4 verdict #3:
     marginal µs/record rose with rung while each rung also carried a wider
     union — the A/B in tools/replicate_ab.py separates the two)."""
+    import shutil
+
     from logagg import synth
 
     cache = synth.ensure_cache(sf_dir, expected=False)
     src = cache / "pages.parquet"
     dst = cache / f"pages_rep{replicate}.parquet"
     done = dst / "_LINKED"
-    if not done.exists():
-        dst.mkdir(exist_ok=True)
-        files = sorted(src.glob("part-*.parquet"))
+    files = sorted(src.glob("part-*.parquet"))
+    # the marker pins the SOURCE inventory (name + inode): ensure_cache
+    # rebuilds pages.parquet in place on a GEN_VERSION bump, and hardlinks
+    # would keep serving the old inodes' bytes — a stale-marker rep dir must
+    # be rebuilt, never trusted
+    inventory = json.dumps([(f.name, os.stat(f).st_ino) for f in files])
+    if not done.exists() or done.read_text() != inventory:
+        if dst.exists():
+            shutil.rmtree(dst)
+        dst.mkdir()
         for i in range(replicate):
             for f in files:
-                target = dst / f"rep{i:04d}-{f.name}"
-                if not target.exists():
-                    os.link(f, target)
-        done.touch()
+                os.link(f, dst / f"rep{i:04d}-{f.name}")
+        done.write_text(inventory)
     return str(dst)
 
 
