@@ -72,8 +72,10 @@ def exact_dupes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ------------------------------------------------- exact shingle-Jaccard
 
 
-def _shingle_batches_fn(stop: frozenset = frozenset()):
+def _shingle_batches_fn(stop: frozenset = frozenset(), digest: bool = False):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
         from logagg import textfns
 
         for pdf in batches:
@@ -87,7 +89,10 @@ def _shingle_batches_fn(stop: frozenset = frozenset()):
                 if stop:
                     ss -= stop
                 ids.extend([did] * len(ss))
-                shs.extend(ss)
+                if digest:
+                    shs.extend(md5(s.encode("utf-8")).digest() for s in ss)
+                else:
+                    shs.extend(ss)
             yield pd.DataFrame(
                 {"id": pd.Series(ids, dtype=object), "shingle": pd.Series(shs, dtype=object)}
             )
@@ -96,7 +101,11 @@ def _shingle_batches_fn(stop: frozenset = frozenset()):
 
 
 def shingles(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", stop: frozenset = frozenset()
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    stop: frozenset = frozenset(),
+    digest: bool = False,
 ) -> DataFrame:
     """(id, shingle) pairs — distinct K-token shingles per doc; short docs
     collapse to one whole-doc shingle (textfns.shingle_set semantics); an
@@ -105,9 +114,17 @@ def shingles(
     Arrow-batched Python, not a Catalyst higher-order expression: measured
     2.7× faster (6 s vs 17 s for 7.5M shingles at sf0.1) — per-element
     string building in transform/slice/array_join generates far more JVM
-    garbage than one CPython pass over the tokens."""
+    garbage than one CPython pass over the tokens.
+
+    ``digest=True`` emits the 16-byte md5 of each shingle instead of the
+    string — for consumers that only test shingle EQUALITY (jaccard_pairs:
+    the shingle value never reaches its output). The ~45-byte shingle
+    strings are the corpus-dominant payload, so digests shrink the Arrow
+    hop and the postings shuffle ~3×; 128-bit digests stay collision-free
+    at any reachable corpus (10^12 shingles → ~3e-15 collision odds)."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(_shingle_batches_fn(stop), schema="id string, shingle string")
+    out = "binary" if digest else "string"
+    return src.mapInPandas(_shingle_batches_fn(stop, digest), schema=f"id string, shingle {out}")
 
 
 def _doc_count(df: DataFrame, n_docs: int | None) -> int:
@@ -158,7 +175,9 @@ def jaccard_pairs(
     the driver; see the module docstring.
     """
     df_max = df_max_for(_doc_count(df, n_docs))
-    sh = shingles(df, id_col, text_col)
+    # digest mode: only shingle equality matters downstream — the postings
+    # groupBy shuffles 16-byte keys instead of ~45-byte template strings
+    sh = shingles(df, id_col, text_col, digest=True)
 
     # join-key compression: the pair aggregation is the job's hottest
     # shuffle, and grouping on two ~65-char url strings is most of its

@@ -156,3 +156,29 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
         }
         want = set(refsketch.connected_components(sorted(edges)).items())
         assert got == want, (trial, sorted(edges))
+
+
+def test_shingle_digest_mode_is_md5_of_string_mode(spark):
+    """jaccard_pairs groups on 16-byte shingle digests (shuffle-key
+    compression); digest mode must emit EXACTLY md5(shingle) for the same
+    (id, shingle) multiset — equality semantics preserved bit-for-bit."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta theta"),  # dup
+            ("c", "short doc"),  # whole-doc shingle path
+            ("d", None),  # null text dropped in both modes
+        ],
+        "url string, text string",
+    )
+    strings = [(r["id"], r["shingle"]) for r in dedup.shingles(docs).collect()]
+    digests = sorted(
+        (r["id"], bytes(r["shingle"]))
+        for r in dedup.shingles(docs, digest=True).collect()
+    )
+    expect = sorted(
+        (i, hashlib.md5(s.encode("utf-8")).digest()) for i, s in strings
+    )
+    assert digests == expect and len(digests) > 0
