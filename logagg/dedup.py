@@ -563,10 +563,18 @@ def _band_batches_fn(stop: frozenset):
         from logagg import textfns
 
         a, b = _perm_params()
+        band_idx = list(range(MINHASH_LSH_BANDS))
+        key_w = MINHASH_LSH_ROWS * 8  # bytes per band key
+
+        # per-doc signature math on purpose: the (64, |shingles|) temporaries
+        # are ~64 KB — L2-resident. A chunk-vectorized variant (one reduceat
+        # over a (64, 100k) matrix) measured 30% SLOWER and 3× noisier: the
+        # 50 MB temporaries are DRAM-bound and blow the cache for the
+        # tokenizer running between flushes.
         for pdf in batches:
-            ids: list[str] = []
+            ids: list = []
             bands: list[int] = []
-            keys: list[str] = []
+            keys: list[bytes] = []
             for did, text in zip(pdf["id"], pdf["text"]):
                 sh_set = textfns.shingle_set(text) if isinstance(text, str) else set()
                 sh_set.discard("")
@@ -579,11 +587,14 @@ def _band_batches_fn(stop: frozenset):
                     count=len(sh_set),
                 )
                 sig = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_MERSENNE).min(axis=1)
-                for band in range(MINHASH_LSH_BANDS):
-                    chunk = sig[band * MINHASH_LSH_ROWS : (band + 1) * MINHASH_LSH_ROWS]
-                    ids.append(did)
-                    bands.append(band)
-                    keys.append(",".join(str(int(v)) for v in chunk))
+                # band key = 32-byte slice of the little-endian signature
+                # buffer: fixed-width encoding of the same ints (equality
+                # semantics identical to the int tuple), cheaper to build
+                # than 4 str() per band and ~2.5× smaller as a shuffle key
+                raw = sig.astype("<i8").tobytes()
+                ids.extend([did] * MINHASH_LSH_BANDS)
+                bands.extend(band_idx)
+                keys.extend(raw[k * key_w : (k + 1) * key_w] for k in band_idx)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype=object),
@@ -610,7 +621,7 @@ def minhash_candidates(
     cache is released before this returns."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     bands = src.mapInPandas(
-        _band_batches_fn(stop), schema="id string, band int, key string"
+        _band_batches_fn(stop), schema="id string, band int, key binary"
     ).persist()  # self-joined: without persist the minhash UDF runs twice
     try:
         a = bands.alias("a")
