@@ -65,6 +65,21 @@ def test_embedding_dupes_symmetric_and_thresholded(spark):
         assert abs(sim - r["sim"]) < 1e-4
 
 
+def test_embedding_dupes_block_invariant(spark):
+    """The blocked-GEMM result must not depend on the block partitioning:
+    single-block, small blocks, and degenerate 1-row blocks (every pair a
+    cross-block task) all yield the identical pair set."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def key(df):
+        return sorted((r["id_a"], r["id_b"], r["sim"]) for r in df.collect())
+
+    whole = key(dedup.embedding_dupes(emb, block_rows=10_000))
+    assert len(whole) > 0
+    assert whole == key(dedup.embedding_dupes(emb, block_rows=7))
+    assert whole == key(dedup.embedding_dupes(emb, block_rows=1))
+
+
 def test_parse_from_html_equals_text_path(spark, pages_cache):
     pages = spark.read.parquet(str(pages_cache / "pages.parquet"))
     via_text = parse.parse_pages(pages).orderBy("url", "record_idx").collect()
