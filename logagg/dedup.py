@@ -714,15 +714,30 @@ def minhash_lsh_dupes(
         out_path=f"{out_path}.cands" if out_path else None,
     )
 
-    # exact verification recomputes (stop-filtered) shingle sets for docs
-    # that appear in some candidate pair — a semi-join cuts the corpus to
-    # tens of thousands of rows before the shingle UDF runs
+    return _verify_candidates(df, cands, stop, id_col, text_col, materialize, out_path)
+
+
+def _verify_candidates(
+    docs: DataFrame,
+    cands: DataFrame,
+    stop: frozenset,
+    id_col: str,
+    text_col: str,
+    materialize: str,
+    out_path: str | None,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    Recomputes (stop-filtered) shingle sets for docs that appear in some
+    candidate pair — a semi-join cuts the corpus to tens of thousands of
+    rows before the shingle UDF runs. Shared by the batch and incremental
+    MinHash operators (``docs`` must cover every id in ``cands``)."""
     cand_ids = (
         cands.select(F.col("url_a").alias("cid"))
         .union(cands.select(F.col("url_b").alias("cid")))
         .distinct()
     )
-    cand_docs = df.join(
+    cand_docs = docs.join(
         F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
     )
     sh = shingles(cand_docs, id_col, text_col, stop=stop).persist()
@@ -750,3 +765,121 @@ def minhash_lsh_dupes(
         return util.materialize(result, materialize, out_path)
     finally:
         sh.unpersist()
+
+
+# ------------------------------------------- incremental MinHash dedup
+
+
+def minhash_index_write(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+    mode: str = "overwrite",
+) -> frozenset:
+    """Build (or extend) the persistent LSH band index for a corpus.
+
+    Writes ``index_path/bands`` — (id, band, key) parquet — and, on
+    ``mode="overwrite"``, freezes the corpus stop-shingle set at
+    ``index_path/stop`` so every later increment dedups against the SAME
+    effective-shingle semantics (a stop set recomputed per increment would
+    silently change which pairs exist). ``mode="append"`` extends the band
+    table with new docs and keeps the frozen stop set.
+
+    Returns the stop set in effect. This is the steady-state ingest shape
+    at 100 TB: the corpus is never re-shingled; each increment pays one
+    Arrow pass over ITS OWN docs plus a band-key equi-join against the
+    index."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        stop = sampled_stop_shingles(df, id_col, text_col, n_docs=n_docs)
+        spark.createDataFrame(
+            [(s,) for s in sorted(stop)], "shingle string"
+        ).write.mode("overwrite").parquet(f"{index_path}/stop")
+    elif mode == "append":
+        stop = _read_index_stop(spark, index_path)
+    else:
+        raise ValueError(f"unknown index mode {mode!r} (expected 'overwrite' or 'append')")
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src.mapInPandas(
+        _band_batches_fn(stop), schema="id string, band int, key binary"
+    ).write.mode("overwrite" if mode == "overwrite" else "append").parquet(
+        f"{index_path}/bands"
+    )
+    return stop
+
+
+def _read_index_stop(spark, index_path: str) -> frozenset:
+    return frozenset(
+        r["shingle"] for r in spark.read.parquet(f"{index_path}/stop").collect()
+    )
+
+
+def minhash_lsh_dupes_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    update_index: bool = True,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch, against an indexed corpus.
+
+    The production increment shape: a new crawl slice arrives and must be
+    deduplicated against everything already ingested WITHOUT re-shingling
+    the corpus. Candidates = (new × corpus) via a band-key equi-join
+    against the persisted index, plus (new × new) via a self-join;
+    verification recomputes exact Jaccard for candidate docs only (same
+    helper as the batch operator, over corpus ∪ new). Returns the same
+    (url_a, url_b, shared, na, nb) contract, url_a < url_b; pairs wholly
+    inside the old corpus are by definition absent (they were reported
+    when THEIR batch arrived).
+
+    ``update_index=True`` appends the new batch's band rows to the index
+    afterward, so the next increment sees this one as corpus. New doc ids
+    must not already exist in the index (re-ingest would self-pair).
+    ``corpus_docs`` must contain the text of every indexed doc (it is only
+    touched via a candidate-id semi-join)."""
+    spark = new_docs.sparkSession
+    stop = _read_index_stop(spark, index_path)
+    src = new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    new_bands = src.mapInPandas(
+        _band_batches_fn(stop), schema="id string, band int, key binary"
+    ).persist()
+    try:
+        idx = spark.read.parquet(f"{index_path}/bands")
+        n = new_bands.alias("n")
+        cross = (
+            n.join(idx.alias("i"), ["band", "key"])
+            .filter(F.col("n.id") != F.col("i.id"))
+            .select(
+                F.least("n.id", "i.id").alias("url_a"),
+                F.greatest("n.id", "i.id").alias("url_b"),
+            )
+        )
+        a = new_bands.alias("a")
+        b = new_bands.alias("b")
+        self_ = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("url_a"), F.col("b.id").alias("url_b"))
+        )
+        cands = util.materialize(
+            cross.union(self_).distinct(),
+            materialize,
+            f"{out_path}.cands" if out_path else None,
+        )
+        all_docs = corpus_docs.select(
+            F.col(id_col), F.col(text_col)
+        ).unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+        result = _verify_candidates(
+            all_docs, cands, stop, id_col, text_col, materialize, out_path
+        )
+        if update_index:
+            new_bands.write.mode("append").parquet(f"{index_path}/bands")
+        return result
+    finally:
+        new_bands.unpersist()

@@ -180,3 +180,68 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _fp_batches, schema="doc_id long, fp long"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 4096,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic document → context-window assignment for LLM
+    pre-training (sequence packing with document spanning).
+
+    Docs are hash-assigned to ``n_buckets`` independent streams
+    (content-independent md5 of the id — same rule as :func:`hash_split`),
+    ordered deterministically inside each stream, concatenated, and cut
+    into ``capacity``-token windows. A document may span a window boundary
+    (the standard packed-pretraining layout; the attention mask handles
+    doc boundaries downstream). Output per doc:
+
+    * ``bucket``       — which independent stream
+    * ``seq_idx``      — first window of this doc within the bucket
+    * ``seq_offset``   — token offset of the doc inside that window
+    * ``n_windows``    — how many windows the doc touches
+
+    Every column derives from one running sum over (bucket, order) — a
+    single window function per hash-bounded partition, so the plan scales
+    with buckets (no global sort, no single-partition window). Exactly
+    reproducible across runs/engines: the order key is (md5(id), id), the
+    same rule everywhere else in the repo. Zero-token docs take no space
+    but still receive the position they would start at.
+    """
+    from pyspark.sql import Window
+
+    okey = F.md5(F.col(id_col).cast("string").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(okey, 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("_start")
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col),
+            okey.alias("_okey"),
+            bucket.cast("int").alias("bucket"),
+        )
+        .withColumn("_start", start)
+        .select(
+            id_col,
+            "bucket",
+            F.floor(F.col("_start") / capacity).cast("long").alias("seq_idx"),
+            F.pmod(F.col("_start"), F.lit(capacity)).cast("long").alias("seq_offset"),
+            F.when(F.col(tokens_col) <= 0, F.lit(1))
+            .otherwise(
+                F.floor((F.col("_start") + F.col(tokens_col) - 1) / capacity)
+                - F.floor(F.col("_start") / capacity)
+                + 1
+            )
+            .cast("long")
+            .alias("n_windows"),
+        )
+    )
+    return out
