@@ -38,3 +38,12 @@ def test_grok_escape_pushdown_contract(spark):
     from explain_plans import grok_escape_contract
 
     assert grok_escape_contract(spark, "/root/testdata/sf0.001") == []
+
+
+def test_pack_sequences_plan_contract(spark):
+    """The packing window must stay hash-partitioned by bucket — a
+    single-partition exchange would serialize the whole corpus onto one
+    task at scale."""
+    from explain_plans import pack_plan_contract
+
+    assert pack_plan_contract(spark) == []

@@ -138,6 +138,31 @@ def grok_escape_contract(spark, sf_dir: str = SF_DIR) -> list[str]:
     return failures
 
 
+def pack_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of textstats.pack_sequences: the running sum
+    must be a window PARTITIONED by the hash bucket — the plan must never
+    contain a single-partition exchange (the classic global-order window
+    collapse that serializes a 10^12-row packing job onto one task).
+
+    Returns a list of failure strings (empty = contract holds)."""
+    from logagg import textstats
+
+    failures: list[str] = []
+    df = spark.range(10_000).selectExpr("id AS doc_id", "id % 997 AS n_tokens")
+    plan_df = textstats.pack_sequences(df)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    if re.search(r"Exchange SinglePartition", plan):
+        failures.append("pack_sequences: single-partition exchange (global window)")
+    if not re.search(r"Window", plan):
+        failures.append("pack_sequences: no Window node (running sum missing)")
+    if not re.search(r"hashpartitioning\(bucket", plan):
+        failures.append("pack_sequences: window not hash-partitioned by bucket")
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -174,6 +199,13 @@ def main(only: list[str]) -> int:
         if not fails:
             print("  [ok] decoded-literal pushed; octal degrades to lit(True)")
         rc |= 1 if fails else 0
+        print(f"{'='*70}\npack_sequences plan contract\n{'='*70}")
+        pfails = pack_plan_contract(spark)
+        for msg in pfails:
+            print(f"  [VIOLATION] {msg}")
+        if not pfails:
+            print("  [ok] bucket-partitioned window, no single-partition exchange")
+        rc |= 1 if pfails else 0
     return rc
 
 
