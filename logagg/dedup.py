@@ -883,3 +883,115 @@ def minhash_lsh_dupes_incremental(
         return result
     finally:
         new_bands.unpersist()
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+def _ngram_digest_batches_fn(n: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        from logagg import textfns
+
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            totals: list = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                ss = textfns.ngram_set(text, n) if isinstance(text, str) else set()
+                ids.extend([did] * len(ss))
+                grams.extend(md5(g.encode("utf-8")).digest() for g in ss)
+                totals.extend([len(ss)] * len(ss))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=object),
+                    "gram": pd.Series(grams, dtype=object),
+                    "n_grams": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return run
+
+
+def ngram_digests(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """(id, gram, n_grams): per doc, each DISTINCT token n-gram as a
+    16-byte md5 digest plus the doc's distinct-gram count (repeated per
+    row so downstream aggregation never needs a second corpus pass).
+    Same Arrow-batched kernel shape as :func:`shingles`; digests only —
+    consumers test equality, never read the gram text."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(
+        _ngram_digest_batches_fn(n), schema=f"id {id_type}, gram binary, n_grams long"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination report: which training docs share at
+    least one token ``n``-gram with an evaluation/benchmark corpus
+    (GPT-3 appendix C / Llama style, default 13-grams).
+
+    Returns (id_col, n_contaminated, n_grams, contaminated_frac) for
+    contaminated docs ONLY — clean docs never leave the join.
+
+    100 TB shape: the benchmark side is distinct-digested and BROADCAST
+    (eval suites are MBs of n-grams vs a 100 TB corpus), so the corpus
+    pays one Arrow scan + a map-side hash-join probe and only hit rows
+    reach the (tiny) per-doc aggregation — no corpus-scale shuffle. Pass
+    ``broadcast=False`` only if the benchmark itself is huge, which
+    degrades to a digest-keyed shuffle join."""
+    btext = bench_text_col or text_col
+    bench = benchmark.select(F.lit(0).alias("bid"), F.col(btext).alias("text"))
+    bench_grams = (
+        ngram_digests(bench, id_col="bid", text_col="text", n=n).select("gram").distinct()
+    )
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = ngram_digests(docs, id_col=id_col, text_col=text_col, n=n)
+    return (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_contaminated",
+            "n_grams",
+            (F.col("n_contaminated") / F.col("n_grams")).alias("contaminated_frac"),
+        )
+    )
+
+
+def filter_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Training docs with every benchmark-contaminated doc removed
+    (>= ``min_hits`` shared n-grams). The contaminated-id set is small by
+    construction (bounded by benchmark overlap), so the anti-join
+    broadcasts — the corpus is never shuffled."""
+    bad = (
+        decontaminate(docs, benchmark, n=n, id_col=id_col, text_col=text_col,
+                      bench_text_col=bench_text_col)
+        .filter(F.col("n_contaminated") >= min_hits)
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -78,3 +78,46 @@ def quality_score(text: str, n_chars: int) -> float:
     len_score = min(n_chars, 400) / 400.0
     stop_ratio = stop_hits / n_tokens
     return 0.5 * len_score + 0.5 * stop_ratio
+
+
+def ngram_set(text: str, n: int) -> set[str]:
+    """Distinct space-joined token n-grams (no short-doc fallback: a doc
+    with fewer than ``n`` tokens yields the empty set — GPT-3-style
+    decontamination semantics, where too-short docs cannot collide with a
+    benchmark n-gram)."""
+    toks = tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def repetition_stats_py(text: str) -> dict:
+    """Pure-Python oracle for ``textstats.repetition_stats`` (Gopher-style
+    repetition signals). Ties in the "most frequent n-gram" pick resolve
+    to the lexicographically greatest gram — pinned in both engines."""
+    lines = [ln for ln in text.split("\n") if ln != ""]
+    n_lines = len(lines)
+    total_chars = len(text)
+    from collections import Counter
+
+    lc = Counter(lines)
+    dup_line_frac = (n_lines - len(lc)) / n_lines if n_lines else 0.0
+    dup_line_chars = sum(c * len(ln) for ln, c in lc.items() if c >= 2)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_char_frac = dup_line_chars / line_chars if line_chars else 0.0
+
+    toks = tokens(text)
+    out = {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    for n in (2, 3, 4):
+        grams = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        if grams and total_chars:
+            top_c, top_g = max((c, g) for g, c in grams.items())
+            out[f"top{n}_char_frac"] = min(1.0, top_c * len(top_g) / total_chars)
+        else:
+            out[f"top{n}_char_frac"] = 0.0
+    grams10 = Counter(" ".join(toks[i : i + 10]) for i in range(len(toks) - 10 + 1))
+    dup10 = sum(c * len(g) for g, c in grams10.items() if c >= 2)
+    out["dup10_char_frac"] = min(1.0, dup10 / total_chars) if total_chars else 0.0
+    return out

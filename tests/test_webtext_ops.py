@@ -1,0 +1,195 @@
+"""Webtext-curation operators: Gopher repetition filters, benchmark
+decontamination, per-domain capping. The repetition kernel delegates to
+textfns.repetition_stats_py, so the crafted cases here pin the MATH with
+hand-computed literals (not just plumbing equality); decontamination and
+capping are checked against independent pure-Python reconstructions."""
+
+import hashlib
+import zlib
+from collections import Counter
+from urllib.parse import urlparse
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logagg import dedup, textfns, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- repetition stats
+
+
+def test_repetition_stats_hand_computed(spark):
+    text1 = "a b a b a b c\nx\nx\n"
+    df = spark.createDataFrame([(1, text1), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in textstats.repetition_stats(df).collect()}
+    r1 = rows[1]
+    # lines: ['a b a b a b c', 'x', 'x'] -> 3 lines, 'x' duplicated
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    # dup line chars = 2*len('x') = 2; line chars = 13+1+1 = 15
+    assert r1["dup_line_char_frac"] == pytest.approx(2 / 15)
+    # tokens: a b a b a b c x x -> top bigram 'a b' x3; len(text1) = 18
+    assert r1["top2_char_frac"] == pytest.approx(3 * 3 / 18)
+    # top trigram: 'a b a' x2 (ties 'b a b' x2 -> lexicographically greatest
+    # of the max-count grams wins = 'b a b')
+    assert r1["top3_char_frac"] == pytest.approx(2 * 5 / 18)
+    # top 4-gram: 'a b a b' x2 is the only repeated 4-gram
+    assert r1["top4_char_frac"] == pytest.approx(2 * 7 / 18)
+    assert r1["dup10_char_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["n_lines"] == 0 and r2["dup_line_frac"] == 0.0
+    assert r2["top2_char_frac"] == 0.0 and r2["dup10_char_frac"] == 0.0
+
+
+def test_repetition_stats_dup10(spark):
+    ten = " ".join(f"w{i}" for i in range(10))
+    text = ten + " " + ten  # the 10-gram 'w0..w9' occurs at offsets 0 and 10
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = textstats.repetition_stats(df).collect()[0]
+    assert row["dup10_char_frac"] == pytest.approx(min(1.0, 2 * len(ten) / len(text)))
+    twin = textfns.repetition_stats_py(text)
+    assert row["dup10_char_frac"] == pytest.approx(twin["dup10_char_frac"])
+
+
+def test_repetition_stats_corpus_matches_twin(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in textstats.repetition_stats(docs).collect()}
+    src = docs.select("doc_id", "text").collect()
+    assert len(got) == len(src)
+    for r in src:
+        want = textfns.repetition_stats_py(r["text"])
+        g = got[r["doc_id"]]
+        for k, v in want.items():
+            assert g[k] == pytest.approx(v), (r["doc_id"], k)
+
+
+# ------------------------------------------------- decontamination
+
+
+def _py_contamination(doc_rows, bench_texts, n):
+    bench_grams = set()
+    for t in bench_texts:
+        bench_grams |= textfns.ngram_set(t, n)
+    out = {}
+    for did, text in doc_rows:
+        grams = textfns.ngram_set(text, n)
+        hits = len(grams & bench_grams)
+        if hits:
+            out[did] = (hits, len(grams))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_decontaminate_matches_python(spark, docs_df):
+    src = [(r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()]
+    # benchmark: verbatim 13-token spans lifted from three docs + noise
+    spans = [" ".join(t.split()[4:20]) for _, t in src[:3]]
+    bench_texts = spans + ["completely unrelated benchmark prompt text here"]
+    bench = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+
+    got = {
+        r["doc_id"]: (r["n_contaminated"], r["n_grams"], r["contaminated_frac"])
+        for r in dedup.decontaminate(docs_df, bench, n=13).collect()
+    }
+    want = _py_contamination(src, bench_texts, 13)
+    assert set(got) == set(want)
+    assert len(want) >= 3  # the three lifted spans must hit their docs
+    for did, (hits, total) in want.items():
+        gh, gt, frac = got[did]
+        assert (gh, gt) == (hits, total)
+        assert frac == pytest.approx(hits / total)
+
+
+def test_decontaminate_short_docs_never_hit(spark):
+    # a 5-token doc cannot contain a 13-gram even if benchmark contains it
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e " * 5,)], "text string")
+    assert dedup.decontaminate(docs, bench, n=13).count() == 0
+
+
+def test_filter_contaminated_partition(spark, docs_df):
+    src = [(r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()]
+    spans = [" ".join(t.split()[:15]) for _, t in src[:2]]
+    bench = spark.createDataFrame([(t,) for t in spans], "text string")
+    bad = set(_py_contamination(src, spans, 13))
+    clean_ids = {
+        r["doc_id"] for r in dedup.filter_contaminated(docs_df, bench, n=13).collect()
+    }
+    assert clean_ids == {d for d, _ in src} - bad
+    assert bad and bad.isdisjoint(clean_ids)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs_df):
+    bench = spark.createDataFrame([("x y z",)], "text string")
+    plan = dedup.decontaminate(docs_df, bench, n=13)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------- per-domain capping
+
+
+def _py_cap(urls, cap, salt_buckets):
+    by_host = {}
+    for u in urls:
+        by_host.setdefault(urlparse(u).netloc, []).append(u)
+    kept = set()
+    for _, us in by_host.items():
+        us.sort(
+            key=lambda u: (
+                zlib.crc32(u.encode()) % salt_buckets,
+                hashlib.md5(u.encode()).hexdigest(),
+                u,
+            )
+        )
+        kept |= set(us[:cap])
+    return kept
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    # 4 domains with 40/20/7/1 pages — two above the cap, two below
+    urls = (
+        [f"https://big.example.com/p/{i:04d}" for i in range(40)]
+        + [f"https://mid.example.org/a/{i:04d}" for i in range(20)]
+        + [f"https://small.example.net/x/{i}" for i in range(7)]
+        + ["https://one.example.io/only"]
+    )
+    return spark.createDataFrame([(u, len(u)) for u in urls], "url string, n long"), urls
+
+
+def test_cap_per_domain_matches_twin(spark, urls_df):
+    df, urls = urls_df
+    for buckets in (16, 3):
+        kept = textstats.cap_per_domain(df, cap=10, salt_buckets=buckets)
+        got = {r["url"] for r in kept.collect()}
+        assert got == _py_cap(urls, 10, buckets), buckets
+        counts = Counter(urlparse(u).netloc for u in got)
+        assert counts["big.example.com"] == 10
+        assert counts["mid.example.org"] == 10
+        assert counts["small.example.net"] == 7
+        assert counts["one.example.io"] == 1
+
+
+def test_cap_per_domain_deterministic_and_carries_columns(spark, urls_df):
+    df, urls = urls_df
+    a = {r["url"] for r in textstats.cap_per_domain(df, cap=5).collect()}
+    b = {
+        r["url"]
+        for r in textstats.cap_per_domain(df.repartition(7), cap=5).collect()
+    }
+    assert a == b
+    row = textstats.cap_per_domain(df, cap=5).limit(1).collect()[0]
+    assert set(row.asDict()) == {"url", "n", "host"}
+
+
+def test_cap_per_domain_no_single_partition_exchange(spark, urls_df):
+    df, _ = urls_df
+    plan = textstats.cap_per_domain(df, cap=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
