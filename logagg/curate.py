@@ -1,0 +1,237 @@
+"""End-to-end training-data curation: the composed pipeline a webtext user
+actually runs, built from the repo's individual operators.
+
+    raw documents
+      → PII redaction            (textstats.redact_pii, Catalyst)
+      → language filter          (textstats.with_lang_pred, Catalyst)
+      → quality filter           (textstats.quality_score, Catalyst)
+      → repetition filter        (textstats.repetition_stats, one Arrow pass)
+      → exact dedup              (dedup.exact_dupes, one hash agg)
+      → near dedup               (dedup.minhash_lsh_dupes + dup_clusters)
+      → benchmark decontamination(dedup.filter_contaminated, broadcast probe)
+      → per-domain cap           (textstats.cap_per_domain, salted rank)
+      → sequence packing         (textstats.pack_sequences, bucketed window)
+
+Every stage is optional and independently tested elsewhere; this module adds
+the composition, a per-stage accounting manifest (rows in/out/dropped — the
+curation report every data team publishes next to a training set), and
+optional per-stage parquet materialization (``materialize_dir``) so a
+100 TB run truncates lineage at each stage, survives restarts (``resume``),
+and never recomputes a finished stage.
+
+Scale shape: each filter is either pure Catalyst, a single Arrow pass, or an
+already-scale-shaped dedup operator; the only driver-side values are the
+per-stage row counts in the manifest (scalars from distributed counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logagg import dedup, textstats
+
+
+@dataclass
+class CurationResult:
+    docs: DataFrame  # surviving (and possibly packed) documents
+    manifest: list[dict] = field(default_factory=list)
+
+    def manifest_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (m["stage"], m["rows_in"], m["rows_out"], m["rows_in"] - m["rows_out"])
+                for m in self.manifest
+            ],
+            "stage string, rows_in long, rows_out long, dropped long",
+        )
+
+
+# Gopher-style default repetition ceilings (Rae et al. 2021 table A1 spirit;
+# keys must be columns of textstats.repetition_stats)
+DEFAULT_REPETITION_LIMITS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup10_char_frac": 0.10,
+}
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    redact: bool = False,
+    langs: tuple[str, ...] | None = None,
+    quality_min: float | None = None,
+    repetition_limits: dict[str, float] | None = None,
+    exact_dedup: bool = True,
+    near_dedup: bool = False,
+    benchmark: DataFrame | None = None,
+    ngram_n: int = 13,
+    domain_cap: int | None = None,
+    pack_capacity: int | None = None,
+    materialize_dir: str | None = None,
+    resume: bool = False,
+) -> CurationResult:
+    """Run the configured stages in order; every ``None``/``False`` knob
+    skips its stage. Returns the surviving docs plus the stage manifest.
+
+    With ``materialize_dir`` each stage lands in
+    ``<dir>/<idx>_<stage>/`` parquet and the next stage reads from disk —
+    lineage is truncated per stage (no 9-stage recompute on a failure) and
+    ``resume=True`` skips any stage whose output already exists (Spark's
+    committed ``_SUCCESS`` marker is the done flag). Counts for skipped
+    stages are re-read from the landed parquet (metadata-cheap)."""
+    spark = docs.sparkSession
+    manifest: list[dict] = []
+    cur = docs
+    n_cur = None  # lazily counted; each stage's rows_in = prior rows_out
+    idx = 0
+
+    def land(stage: str, out: DataFrame) -> DataFrame:
+        if materialize_dir is None:
+            return out
+        path = f"{materialize_dir}/{idx:02d}_{stage}"
+        out.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def existing(stage: str) -> DataFrame | None:
+        if not (resume and materialize_dir):
+            return None
+        path = f"{materialize_dir}/{idx:02d}_{stage}"
+        try:
+            jvm_fs_ok = spark.read.parquet(path)
+            # _SUCCESS check: only a fully committed stage counts
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+            fs = jpath.getFileSystem(hconf)
+            if not fs.exists(jpath):
+                return None
+            return jvm_fs_ok
+        except Exception:
+            return None
+
+    def step(stage: str, fn) -> None:
+        nonlocal cur, n_cur, idx
+        rows_in = cur.count() if n_cur is None else n_cur
+        done = existing(stage)
+        out = done if done is not None else land(stage, fn(cur))
+        rows_out = out.count()
+        manifest.append({"stage": stage, "rows_in": rows_in, "rows_out": rows_out})
+        cur, n_cur = out, rows_out
+        idx += 1
+
+    if redact:
+        step("redact_pii", lambda d: d.withColumn(text_col, textstats.redact_pii(F.col(text_col))))
+    if langs is not None:
+        step(
+            "language_filter",
+            lambda d: textstats.with_lang_pred(d, text_col=text_col)
+            .filter(F.col("lang_pred").isin(*langs))
+            .drop("lang_pred"),
+        )
+    if quality_min is not None:
+        step(
+            "quality_filter",
+            lambda d: d.filter(
+                textstats.quality_score(F.col(text_col), F.length(text_col)) >= quality_min
+            ),
+        )
+    if repetition_limits is not None:
+        limits = repetition_limits
+
+        def rep_stage(d: DataFrame) -> DataFrame:
+            stats = textstats.repetition_stats(d, id_col=id_col, text_col=text_col)
+            cond = None
+            for col, mx in limits.items():
+                c = F.col(col) <= mx
+                cond = c if cond is None else (cond & c)
+            keep = stats.filter(cond).select(id_col)
+            return d.join(keep, id_col)
+
+        step("repetition_filter", rep_stage)
+    if exact_dedup:
+
+        def exact_stage(d: DataFrame) -> DataFrame:
+            groups = dedup.exact_dupes(d, id_col=id_col, text_col=text_col)
+            return (
+                d.withColumn("_md5", F.md5(F.col(text_col).cast("binary")))
+                .join(groups.select(F.col("text_md5").alias("_md5"), "keeper"), "_md5")
+                .filter(F.col(id_col) == F.col("keeper"))
+                .drop("_md5", "keeper")
+            )
+
+        step("exact_dedup", exact_stage)
+    if near_dedup:
+
+        def near_stage(d: DataFrame) -> DataFrame:
+            # with a materialize_dir, pair/cluster intermediates land in
+            # parquet too (driver-free path mode — the 100 TB shape);
+            # without one, the bounded pair list is driver-materialized
+            mat = "path" if materialize_dir else "local"
+            pfx = f"{materialize_dir}/{idx:02d}_near_dedup" if materialize_dir else None
+            pairs = dedup.minhash_lsh_dupes(
+                d, id_col=id_col, text_col=text_col,
+                materialize=mat, out_path=f"{pfx}.pairs" if pfx else None,
+            )
+            clusters = dedup.dup_clusters(
+                d, id_col=id_col, text_col=text_col, pairs=pairs,
+                materialize=mat, out_path=f"{pfx}.clusters" if pfx else None,
+            )
+            # keep one representative per component — the MIN id in the
+            # id column's native order. (The cluster label itself is the
+            # STRING-min, because ids ride the Arrow pair kernels as
+            # strings: "34" < "4" — wrong keeper for numeric ids.)
+            cl = clusters.select(F.col(id_col).cast("string").alias("_cid"), "cluster")
+            ids = d.select(
+                F.col(id_col).alias("_orig"), F.col(id_col).cast("string").alias("_cid")
+            )
+            joined = cl.join(ids, "_cid")
+            keepers = joined.groupBy("cluster").agg(F.min("_orig").alias("_keep"))
+            losers = (
+                joined.join(keepers, "cluster")
+                .filter(F.col("_orig") != F.col("_keep"))
+                .select(F.col("_cid").alias("_loser"))
+            )
+            return d.join(
+                F.broadcast(losers),
+                F.col(id_col).cast("string") == F.col("_loser"),
+                "left_anti",
+            )
+
+        step("near_dedup", near_stage)
+    if benchmark is not None:
+        step(
+            "decontaminate",
+            lambda d: dedup.filter_contaminated(
+                d, benchmark, n=ngram_n, id_col=id_col, text_col=text_col
+            ),
+        )
+    if domain_cap is not None:
+        if url_col is None:
+            raise ValueError("domain_cap requires url_col")
+        step(
+            "domain_cap",
+            lambda d: textstats.cap_per_domain(d, cap=domain_cap, id_col=url_col).drop("host"),
+        )
+    if pack_capacity is not None:
+
+        def pack_stage(d: DataFrame) -> DataFrame:
+            toks = d.select(
+                F.col(id_col), textstats.token_count(F.col(text_col)).alias("n_tokens")
+            )
+            packed = textstats.pack_sequences(
+                toks, id_col=id_col, tokens_col="n_tokens", capacity=pack_capacity
+            )
+            return d.join(packed, id_col)
+
+        step("pack_sequences", pack_stage)
+
+    return CurationResult(docs=cur, manifest=manifest)

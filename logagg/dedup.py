@@ -122,7 +122,7 @@ def shingles(
     strings are the corpus-dominant payload, so digests shrink the Arrow
     hop and the postings shuffle ~3×; 128-bit digests stay collision-free
     at any reachable corpus (10^12 shingles → ~3e-15 collision odds)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     out = "binary" if digest else "string"
     return src.mapInPandas(_shingle_batches_fn(stop, digest), schema=f"id string, shingle {out}")
 
@@ -147,7 +147,11 @@ def sampled_stop_shingles(
     aggregation over ~12% of the corpus instead of a full shingle table;
     the result is tiny (template shingles) and ships into UDF closures."""
     df_max = df_max_for(_doc_count(df, n_docs))
-    sample = df.filter(F.pmod(F.crc32(F.col(id_col).cast("binary")), F.lit(STOP_SAMPLE_MOD)) == 0)
+    # cast through string so numeric ids work too (ANSI forbids a direct
+    # bigint→binary cast); identity for the usual string url keys
+    sample = df.filter(
+        F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.lit(STOP_SAMPLE_MOD)) == 0
+    )
     rows = (
         shingles(sample, id_col, text_col)
         .groupBy("shingle")
@@ -454,7 +458,7 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def simhash(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (token-set sign-vote, Arrow-batched)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     return src.mapInPandas(_simhash_batches, schema="id string, simhash long")
 
 
@@ -669,7 +673,7 @@ def minhash_candidates(
     The band table is persisted only for the duration of the self-join; the
     candidate list is frozen (locally or to ``out_path`` parquet) so the
     cache is released before this returns."""
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     bands = src.mapInPandas(
         _band_batches_fn(stop), schema="id string, band int, key binary"
     ).persist()  # self-joined: without persist the minhash UDF runs twice
@@ -801,7 +805,7 @@ def minhash_index_write(
         stop = _read_index_stop(spark, index_path)
     else:
         raise ValueError(f"unknown index mode {mode!r} (expected 'overwrite' or 'append')")
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     src.mapInPandas(
         _band_batches_fn(stop), schema="id string, band int, key binary"
     ).write.mode("overwrite" if mode == "overwrite" else "append").parquet(
@@ -845,7 +849,7 @@ def minhash_lsh_dupes_incremental(
     touched via a candidate-id semi-join)."""
     spark = new_docs.sparkSession
     stop = _read_index_stop(spark, index_path)
-    src = new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = new_docs.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     new_bands = src.mapInPandas(
         _band_batches_fn(stop), schema="id string, band int, key binary"
     ).persist()
@@ -923,7 +927,7 @@ def ngram_digests(
     Same Arrow-batched kernel shape as :func:`shingles`; digests only —
     consumers test equality, never read the gram text."""
     id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
     return src.mapInPandas(
         _ngram_digest_batches_fn(n), schema=f"id {id_type}, gram binary, n_grams long"
     )

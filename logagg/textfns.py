@@ -121,3 +121,22 @@ def repetition_stats_py(text: str) -> dict:
     dup10 = sum(c * len(g) for g, c in grams10.items() if c >= 2)
     out["dup10_char_frac"] = min(1.0, dup10 / total_chars) if total_chars else 0.0
     return out
+
+
+# PII redaction patterns — single source of truth for both engines. Kept to
+# the regex dialect intersection of java.util.regex and Python re (ASCII
+# classes, \b, non-capturing groups) so one string drives both.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_py(text: str) -> str:
+    """Pure-Python oracle for textstats.redact_pii (same patterns, same
+    order — order matters: an email is redacted before its domain's dots
+    can look like an IPv4)."""
+    for _, pat, repl in PII_PATTERNS:
+        text = re.sub(pat, repl, text)
+    return text

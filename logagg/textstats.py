@@ -321,8 +321,11 @@ def cap_per_domain(
 
     idc = F.col(id_col)
     host = F.parse_url(idc, F.lit("HOST")).alias("_host")
-    salt = F.pmod(F.crc32(idc.cast("binary")), F.lit(salt_buckets)).cast("int").alias("_salt")
-    okey = F.md5(idc.cast("binary")).alias("_okey")
+    # string-then-binary cast: identity for url keys, and keeps numeric ids
+    # legal under ANSI (no direct bigint→binary cast)
+    idb = idc.cast("string").cast("binary")
+    salt = F.pmod(F.crc32(idb), F.lit(salt_buckets)).cast("int").alias("_salt")
+    okey = F.md5(idb).alias("_okey")
     tagged = pages.select("*", host, salt, okey)
 
     big = Window.partitionBy("_host", "_salt").orderBy("_okey", id_col)
@@ -345,3 +348,18 @@ def cap_per_domain(
     )
     kept = ranked.filter(F.col("_rank") <= cap)
     return kept.select(*pages.columns, F.col("_host").alias("host"))
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact emails / IPv4s / phone-shaped numbers — Catalyst
+    regexp_replace chain (JVM-side, codegen'd; zero Python in the hot
+    path). Patterns live in textfns.PII_PATTERNS, the single source both
+    engines compile — kept to the java.util.regex ∩ Python re dialect so
+    the pure-Python oracle is bit-identical. Applied in declaration order
+    (email before IPv4: 'a@b2.33.44.55' must not leak an <IP>)."""
+    from logagg.textfns import PII_PATTERNS
+
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

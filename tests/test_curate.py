@@ -1,0 +1,164 @@
+"""The composed curation pipeline: stage equivalence, manifest accounting,
+per-stage parquet materialization + resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logagg import curate, dedup, textfns, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    """30 base docs + 3 exact copies + 3 near copies (one appended token)
+    + 2 PII docs, with urls over 3 hosts."""
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(30)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in base]
+    next_id = max(i for i, _ in rows) + 1
+    # copy/PII sources are chosen among docs that PASS the default
+    # repetition limits (twin-checked: only indices 0 and 27 fail), so the
+    # dedup stages see exactly the crafted duplicates
+    for j, k in enumerate((1, 2, 6)):  # exact copies
+        rows.append((next_id + j, rows[k][1]))
+    for j, k in enumerate((3, 4, 5)):  # near copies (one appended token)
+        rows.append((next_id + 3 + j, rows[k][1] + " extra"))
+    rows.append((next_id + 6, "contact me bob@corp.example.com or 10.1.2.3 " + rows[9][1]))
+    rows.append((next_id + 7, "call 415-555-1234 now " + rows[10][1]))
+    data = [
+        (i, t, f"https://h{i % 3}.example.com/doc/{i:05d}") for i, t in rows
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string, url string")
+
+
+def test_manifest_accounting_chains(spark, crafted):
+    res = curate.curate(
+        crafted,
+        redact=True,
+        quality_min=0.05,
+        repetition_limits=curate.DEFAULT_REPETITION_LIMITS,
+        exact_dedup=True,
+        url_col="url",
+        domain_cap=10,
+        pack_capacity=64,
+    )
+    m = res.manifest
+    assert [s["stage"] for s in m] == [
+        "redact_pii",
+        "quality_filter",
+        "repetition_filter",
+        "exact_dedup",
+        "domain_cap",
+        "pack_sequences",
+    ]
+    # rows_out of stage i == rows_in of stage i+1; transforms drop nothing
+    for a, b in zip(m, m[1:]):
+        assert a["rows_out"] == b["rows_in"]
+    assert m[0]["rows_in"] == crafted.count()
+    assert m[0]["rows_out"] == m[0]["rows_in"]  # redact transforms only
+    assert m[-1]["rows_out"] == m[-1]["rows_in"]  # packing transforms only
+    q = next(s for s in m if s["stage"] == "quality_filter")
+    assert q["rows_in"] == q["rows_out"]  # corpus clears the 0.05 floor
+    rep = next(s for s in m if s["stage"] == "repetition_filter")
+    assert rep["rows_in"] - rep["rows_out"] == 2  # base docs 0 and 27
+    ex = next(s for s in m if s["stage"] == "exact_dedup")
+    assert ex["rows_in"] - ex["rows_out"] == 3  # the three exact copies
+    # packed output carries the packing columns
+    assert {"bucket", "seq_idx", "seq_offset", "n_windows"} <= set(res.docs.columns)
+    assert res.manifest_df(spark).count() == len(m)
+
+
+def test_equivalent_to_manual_stage_application(spark, crafted):
+    res = curate.curate(
+        crafted,
+        redact=True,
+        quality_min=0.05,
+        exact_dedup=True,
+        benchmark=spark.createDataFrame(
+            [(" ".join(crafted.collect()[0]["text"].split()[:20]),)], "text string"
+        ),
+    )
+    bench = spark.createDataFrame(
+        [(" ".join(crafted.collect()[0]["text"].split()[:20]),)], "text string"
+    )
+    d = crafted.withColumn("text", textstats.redact_pii(F.col("text")))
+    d = d.filter(textstats.quality_score(F.col("text"), F.length("text")) >= 0.05)
+    groups = dedup.exact_dupes(d)
+    d = (
+        d.withColumn("_md5", F.md5(F.col("text").cast("binary")))
+        .join(groups.select(F.col("text_md5").alias("_md5"), "keeper"), "_md5")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("_md5", "keeper")
+    )
+    d = dedup.filter_contaminated(d, bench, n=13)
+    want = {(r["doc_id"], r["text"]) for r in d.collect()}
+    got = {(r["doc_id"], r["text"]) for r in res.docs.collect()}
+    assert got == want and got
+
+
+def test_redact_pii_spark_matches_twin(spark, crafted):
+    rows = crafted.select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: r["red"]
+        for r in crafted.select(
+            "doc_id", textstats.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    hit = 0
+    for r in rows:
+        assert got[r["doc_id"]] == textfns.redact_pii_py(r["text"])
+        hit += got[r["doc_id"]] != r["text"]
+    assert hit == 2  # exactly the two crafted PII docs change
+    assert "<EMAIL>" in got[max(got) - 1] and "<IP>" in got[max(got) - 1]
+    assert "<PHONE>" in got[max(got)]
+
+
+def test_near_dedup_stage_drops_near_copies(spark, crafted):
+    res = curate.curate(crafted, exact_dedup=True, near_dedup=True)
+    m = {s["stage"]: s for s in res.manifest}
+    # 3 exact copies die in exact_dedup. near_dedup then removes 6: the 3
+    # crafted near copies (33,34,35), the corpus's own genuine near-dup
+    # pair (8,12) → 12, and the two PII docs (36,37), whose added prefix
+    # leaves Jaccard ≥ 0.8 with their source docs — all twin-verified
+    # ground truth (9 J≥0.8 pairs in the crafted corpus).
+    assert m["exact_dedup"]["rows_in"] - m["exact_dedup"]["rows_out"] == 3
+    dropped_near = m["near_dedup"]["rows_in"] - m["near_dedup"]["rows_out"]
+    assert dropped_near == 6
+    ids = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    # each component keeps its numeric-min id ("34" < "4" string order must
+    # NOT pick the copy as keeper)
+    assert ids.isdisjoint({12, 30, 31, 32, 33, 34, 35, 36, 37})
+    assert {3, 4, 5, 8, 9, 10} <= ids
+
+
+def test_materialize_dir_and_resume(spark, crafted, tmp_path):
+    cfg = dict(
+        redact=True,
+        quality_min=0.05,
+        exact_dedup=True,
+        url_col="url",
+        domain_cap=10,
+    )
+    plain = curate.curate(crafted, **cfg)
+    mdir = str(tmp_path / "stages")
+    landed = curate.curate(crafted, materialize_dir=mdir, **cfg)
+    key = lambda df: {(r["doc_id"], r["text"], r["url"]) for r in df.collect()}  # noqa: E731
+    assert key(landed.docs) == key(plain.docs)
+    assert landed.manifest == plain.manifest
+    import os
+
+    stages = sorted(os.listdir(mdir))
+    assert stages and all("_" in s for s in stages)
+    # resume: every stage output exists, so no stage recomputes — poison
+    # the input to PROVE the landed parquet is what's served
+    poisoned = crafted.withColumn("text", F.lit("poison"))
+    resumed = curate.curate(poisoned, materialize_dir=mdir, resume=True, **cfg)
+    assert key(resumed.docs) == key(plain.docs)
+    assert [s["stage"] for s in resumed.manifest] == [s["stage"] for s in plain.manifest]
