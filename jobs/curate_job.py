@@ -1,0 +1,83 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+    python tools/package.py                 # → dist/logagg.zip
+    spark-submit --py-files dist/logagg.zip jobs/curate_job.py \
+        --docs /root/testdata/sf0.01/documents.parquet \
+        --outdir /tmp/curated --stage-dir /tmp/curated_stages \
+        --quality-min 0.05 --repetition --near-dedup \
+        --benchmark /path/to/eval_docs.parquet --pack 4096
+
+Writes the surviving (packed) documents to ``<outdir>/docs`` parquet and
+the per-stage manifest to ``<outdir>/manifest.json``; with ``--stage-dir``
+every stage lands in parquet and a rerun with ``--resume`` skips finished
+stages (restart-safe on a real cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# direct `python jobs/curate_job.py` convenience; under spark-submit the
+# --py-files zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="input documents parquet")
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--redact", action="store_true")
+    ap.add_argument("--langs", default=None, help="comma-separated keep list")
+    ap.add_argument("--quality-min", type=float, default=None)
+    ap.add_argument("--repetition", action="store_true", help="Gopher default limits")
+    ap.add_argument("--no-exact-dedup", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true")
+    ap.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
+    ap.add_argument("--ngram-n", type=int, default=13)
+    ap.add_argument("--domain-cap", type=int, default=None)
+    ap.add_argument("--pack", type=int, default=None, help="context-window capacity")
+    ap.add_argument("--stage-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from logagg import curate
+    from logagg.session import get_spark
+
+    spark = get_spark(app_name="logagg-curate", master=args.master)
+    docs = spark.read.parquet(args.docs)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+
+    res = curate.curate(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        url_col=args.url_col,
+        redact=args.redact,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        quality_min=args.quality_min,
+        repetition_limits=curate.DEFAULT_REPETITION_LIMITS if args.repetition else None,
+        exact_dedup=not args.no_exact_dedup,
+        near_dedup=args.near_dedup,
+        benchmark=benchmark,
+        ngram_n=args.ngram_n,
+        domain_cap=args.domain_cap,
+        pack_capacity=args.pack,
+        materialize_dir=args.stage_dir,
+        resume=args.resume,
+    )
+    res.docs.write.mode("overwrite").parquet(f"{args.outdir}/docs")
+    with open(f"{args.outdir}/manifest.json".replace("file:", ""), "w") as fh:
+        json.dump(res.manifest, fh, indent=1)
+    for m in res.manifest:
+        print(f"{m['stage']:<20} in={m['rows_in']:>10} out={m['rows_out']:>10}")
+
+
+if __name__ == "__main__":
+    main()
