@@ -39,6 +39,11 @@ class CurationResult:
     docs: DataFrame  # surviving (and possibly packed) documents
     manifest: list[dict] = field(default_factory=list)
 
+    def unpersist(self) -> None:
+        """Release the final stage's cache (in-memory mode only; parquet-
+        landed runs hold no cache). Call once `docs` has been consumed."""
+        self.docs.unpersist()
+
     def manifest_df(self, spark) -> DataFrame:
         return spark.createDataFrame(
             [
@@ -97,7 +102,14 @@ def curate(
 
     def land(stage: str, out: DataFrame) -> DataFrame:
         if materialize_dir is None:
-            return out
+            # pipelined persist: without parquet landing, every stage
+            # count would otherwise re-run the WHOLE upstream lineage
+            # (the repetition Arrow pass once per later stage — measured
+            # 42 s vs 9 s for a 6-stage run on 5k docs). Each stage is
+            # cached, and its predecessor released as soon as the stage
+            # is counted (see step()); the final stage stays persisted
+            # for the caller — CurationResult.unpersist() releases it.
+            return out.persist()
         path = f"{materialize_dir}/{idx:02d}_{stage}"
         out.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -124,6 +136,8 @@ def curate(
         done = existing(stage)
         out = done if done is not None else land(stage, fn(cur))
         rows_out = out.count()
+        if materialize_dir is None and cur is not docs:
+            cur.unpersist()  # predecessor no longer referenced
         manifest.append({"stage": stage, "rows_in": rows_in, "rows_out": rows_out})
         cur, n_cur = out, rows_out
         idx += 1

@@ -39,6 +39,7 @@ def crafted(spark):
 
 
 def test_manifest_accounting_chains(spark, crafted):
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     res = curate.curate(
         crafted,
         redact=True,
@@ -73,6 +74,11 @@ def test_manifest_accounting_chains(spark, crafted):
     # packed output carries the packing columns
     assert {"bucket", "seq_idx", "seq_offset", "n_windows"} <= set(res.docs.columns)
     assert res.manifest_df(spark).count() == len(m)
+    # cache hygiene: pipelined persist must leave ONLY the final stage
+    # cached, and unpersist() releases that
+    res.docs.count()
+    res.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
 
 
 def test_equivalent_to_manual_stage_application(spark, crafted):
