@@ -320,30 +320,37 @@ def cap_per_domain(
     from pyspark.sql import Window
 
     idc = F.col(id_col)
-    host = F.parse_url(idc, F.lit("HOST")).alias("_host")
+    # try_parse_url: a crawl ALWAYS contains malformed urls, and ANSI
+    # parse_url would kill the whole job on the first one. NULL hosts
+    # group together and are capped like any other domain (they're
+    # usually junk — capping bounds them too).
+    host = F.try_parse_url(idc, F.lit("HOST")).alias("_host")
+    # the grouping/join key must be non-null (null keys silently drop out
+    # of equi-joins): sentinel for the junk group, real host otherwise
+    hkey = F.coalesce(F.try_parse_url(idc, F.lit("HOST")), F.lit("\x00invalid")).alias("_hkey")
     # string-then-binary cast: identity for url keys, and keeps numeric ids
     # legal under ANSI (no direct bigint→binary cast)
     idb = idc.cast("string").cast("binary")
     salt = F.pmod(F.crc32(idb), F.lit(salt_buckets)).cast("int").alias("_salt")
     okey = F.md5(idb).alias("_okey")
-    tagged = pages.select("*", host, salt, okey)
+    tagged = pages.select("*", host, hkey, salt, okey)
 
-    big = Window.partitionBy("_host", "_salt").orderBy("_okey", id_col)
+    big = Window.partitionBy("_hkey", "_salt").orderBy("_okey", id_col)
     local = F.row_number().over(big).alias("_local_rank")
 
-    counts = tagged.groupBy("_host", "_salt").agg(F.count("*").alias("_n"))
+    counts = tagged.groupBy("_hkey", "_salt").agg(F.count("*").alias("_n"))
     tiny = (
-        Window.partitionBy("_host")
+        Window.partitionBy("_hkey")
         .orderBy("_salt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = counts.select(
-        "_host", "_salt", (F.sum("_n").over(tiny) - F.col("_n")).alias("_offset")
+        "_hkey", "_salt", (F.sum("_n").over(tiny) - F.col("_n")).alias("_offset")
     )
 
     ranked = (
         tagged.withColumn("_local_rank", local)
-        .join(offsets, ["_host", "_salt"])
+        .join(offsets, ["_hkey", "_salt"])
         .withColumn("_rank", F.col("_offset") + F.col("_local_rank"))
     )
     kept = ranked.filter(F.col("_rank") <= cap)

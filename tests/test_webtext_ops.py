@@ -189,6 +189,23 @@ def test_cap_per_domain_deterministic_and_carries_columns(spark, urls_df):
     assert set(row.asDict()) == {"url", "n", "host"}
 
 
+def test_cap_per_domain_tolerates_malformed_urls(spark):
+    """A crawl always contains junk urls: they must not kill the job
+    (ANSI parse_url throws; try_parse_url maps them to a NULL host) and
+    the NULL-host group is capped like any domain."""
+    urls = [f"https://ok.example.com/p{i}" for i in range(5)] + [
+        "not a url",
+        "///weird",
+        "%%%",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = textstats.cap_per_domain(df, cap=3).collect()
+    by_host = Counter(r["host"] for r in out)
+    assert by_host["ok.example.com"] == 3
+    assert by_host[None] == 3  # junk group capped too
+
+
 def test_cap_per_domain_no_single_partition_exchange(spark, urls_df):
     df, _ = urls_df
     plan = textstats.cap_per_domain(df, cap=10)._jdf.queryExecution().executedPlan().toString()
