@@ -109,6 +109,26 @@ def test_equivalent_to_manual_stage_application(spark, crafted):
     assert got == want and got
 
 
+def test_language_filter_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the server and the job failed the run"),
+            (2, "el proceso con fallo el lunes con el"),
+            (3, "le job dans erreur le mode dans le"),
+        ],
+        "doc_id long, text string",
+    )
+    res = curate.curate(docs, langs=("en", "es"), exact_dedup=False)
+    assert {r["doc_id"] for r in res.docs.collect()} == {1, 2}
+    m = res.manifest
+    assert m == [{"stage": "language_filter", "rows_in": 3, "rows_out": 2}]
+    # the helper column must not leak into the output
+    assert set(res.docs.columns) == {"doc_id", "text"}
+    # prediction agrees with the pure-Python oracle
+    for r in docs.collect():
+        assert textfns.lang_id(r["text"]) in ("en", "es", "fr")
+
+
 def test_redact_pii_spark_matches_twin(spark, crafted):
     rows = crafted.select("doc_id", "text").collect()
     got = {
