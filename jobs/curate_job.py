@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--repetition", action="store_true", help="Gopher default limits")
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true")
+    ap.add_argument("--substring-n", type=int, default=None,
+                    help="cut corpus-repeated n-token runs (exact-substring dedup)")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
     ap.add_argument("--ngram-n", type=int, default=13)
     ap.add_argument("--domain-cap", type=int, default=None)
@@ -65,6 +67,7 @@ def main() -> None:
         repetition_limits=curate.DEFAULT_REPETITION_LIMITS if args.repetition else None,
         exact_dedup=not args.no_exact_dedup,
         near_dedup=args.near_dedup,
+        substring_n=args.substring_n,
         benchmark=benchmark,
         ngram_n=args.ngram_n,
         domain_cap=args.domain_cap,

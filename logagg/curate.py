@@ -8,6 +8,7 @@ actually runs, built from the repo's individual operators.
       → repetition filter        (textstats.repetition_stats, one Arrow pass)
       → exact dedup              (dedup.exact_dupes, one hash agg)
       → near dedup               (dedup.minhash_lsh_dupes + dup_clusters)
+      → exact-substring cut      (dedup.repeated_ngram_spans + cut, Lee et al.)
       → benchmark decontamination(dedup.filter_contaminated, broadcast probe)
       → per-domain cap           (textstats.cap_per_domain, salted rank)
       → sequence packing         (textstats.pack_sequences, bucketed window)
@@ -78,6 +79,7 @@ def curate(
     repetition_limits: dict[str, float] | None = None,
     exact_dedup: bool = True,
     near_dedup: bool = False,
+    substring_n: int | None = None,
     benchmark: DataFrame | None = None,
     ngram_n: int = 13,
     domain_cap: int | None = None,
@@ -221,6 +223,16 @@ def curate(
             )
 
         step("near_dedup", near_stage)
+    if substring_n is not None:
+
+        def substr_stage(d: DataFrame) -> DataFrame:
+            spans = dedup.repeated_ngram_spans(
+                d, id_col=id_col, text_col=text_col, n=substring_n
+            )
+            return dedup.cut_repeated_spans(d, spans, id_col=id_col, text_col=text_col)
+
+        # transform-only (Lee et al. cut spans and KEEP the documents)
+        step("substring_dedup", substr_stage)
     if benchmark is not None:
         step(
             "decontaminate",

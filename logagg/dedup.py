@@ -999,3 +999,130 @@ def filter_contaminated(
         .select(id_col)
     )
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# --------------------------------------- exact-substring (repeated n-gram) dedup
+
+
+def _pos_ngram_batches_fn(n: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        from logagg import textfns
+
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            grams: list = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                ts = textfns.tokens(text)
+                for p in range(len(ts) - n + 1):
+                    ids.append(did)
+                    poss.append(p)
+                    grams.append(md5(" ".join(ts[p : p + n]).encode("utf-8")).digest())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=object),
+                    "pos": pd.Series(poss, dtype="int64"),
+                    "gram": pd.Series(grams, dtype=object),
+                }
+            )
+
+    return run
+
+
+def positional_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 50
+) -> DataFrame:
+    """(id, pos, gram): EVERY token position's ``n``-gram as a 16-byte md5
+    digest — the positional table exact-substring dedup runs on. One row
+    per token (minus n-1 per doc): linear in corpus size, one Arrow pass."""
+    src = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_pos_ngram_batches_fn(n), schema="id string, pos long, gram binary")
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, Spark-shaped (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the merged token
+    spans [span_start, span_end) covered by an ``n``-token run occurring
+    >= ``min_count`` times corpus-wide (all positions counted, within-doc
+    repeats included).
+
+    The reference algorithm builds one suffix array over the concatenated
+    corpus — inherently single-machine. The distributed equivalent at a
+    fixed minimum match length n: positional n-gram digests (one Arrow
+    pass, linear), a digest-keyed partial+final count, a semi-join of
+    positions against the repeated digests (AQE skew-join absorbs hot
+    template grams), then a per-doc gaps-and-islands window (partitioned
+    by doc — bounded by document length, never corpus length) to merge
+    overlapping hits into maximal spans. Every stage is shuffle-bounded
+    and scales with tokens, not tokens²."""
+    from pyspark.sql import Window
+
+    pos = positional_ngrams(df, id_col, text_col, n)
+    repeated = (
+        pos.groupBy("gram").agg(F.count("*").alias("_c")).filter(F.col("_c") >= min_count)
+    )
+    hits = pos.join(repeated.select("gram"), "gram").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn("_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"))
+        .withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + n).alias("span_end"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the given token spans from each document's text (the cut
+    step of exact-substring dedup; docs with no spans pass through
+    unchanged). Spans ride a per-doc array through one broadcast-or-
+    shuffle join and the cut itself is one Arrow pass; all non-text
+    columns are preserved."""
+    span_arr = (
+        spans.groupBy(F.col(id_col).cast("string").alias("_sid"))
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    )
+    joined = df.join(span_arr, F.col(id_col).cast("string") == F.col("_sid"), "left")
+
+    cols = list(df.columns)
+    tpos = cols.index(text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logagg import textfns
+
+        for pdf in batches:
+            texts = []
+            for text, sp in zip(pdf[text_col], pdf["_spans"]):
+                # unmatched left-join rows surface as None (or NaN, float)
+                if sp is None or isinstance(sp, float) or len(sp) == 0 or not isinstance(text, str):
+                    texts.append(text)
+                else:
+                    texts.append(
+                        textfns.cut_spans_py(
+                            text, [(s["span_start"], s["span_end"]) for s in sp]
+                        )
+                    )
+            out = pdf[cols].copy()
+            out[text_col] = texts
+            yield out
+
+    return joined.mapInPandas(run, schema=df.schema)

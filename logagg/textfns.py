@@ -140,3 +140,46 @@ def redact_pii_py(text: str) -> str:
     for _, pat, repl in PII_PATTERNS:
         text = re.sub(pat, repl, text)
     return text
+
+
+def repeated_ngram_spans_py(
+    texts: dict, n: int = 50, min_count: int = 2
+) -> dict:
+    """Pure-Python oracle for ``dedup.repeated_ngram_spans``: token spans
+    (start, end) per doc covered by an ``n``-token run that occurs at
+    least ``min_count`` times across the corpus (all positions counted,
+    within-doc repeats included). Overlapping/adjacent spans are merged."""
+    from collections import Counter
+
+    toks = {i: tokens(t) for i, t in texts.items()}
+    counts: Counter = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - n + 1):
+            counts[" ".join(ts[p : p + n])] += 1
+    out: dict = {}
+    for i, ts in toks.items():
+        hits = [
+            p
+            for p in range(len(ts) - n + 1)
+            if counts[" ".join(ts[p : p + n])] >= min_count
+        ]
+        spans: list = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+        if spans:
+            out[i] = spans
+    return out
+
+
+def cut_spans_py(text: str, spans: list) -> str:
+    """Remove the given token spans (start inclusive, end exclusive) from
+    the text; remaining tokens re-join with single spaces (the pinned
+    whitespace normalization of the cut operation)."""
+    ts = tokens(text)
+    drop = set()
+    for a, b in spans:
+        drop.update(range(a, b))
+    return " ".join(t for i, t in enumerate(ts) if i not in drop)

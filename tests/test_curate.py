@@ -164,6 +164,24 @@ def test_near_dedup_stage_drops_near_copies(spark, crafted):
     assert {3, 4, 5, 8, 9, 10} <= ids
 
 
+def test_substring_dedup_stage(spark):
+    texts = {
+        1: "s1 s2 s3 s4 tail1 tail2",
+        2: "s1 s2 s3 s4 other stuff",
+        3: "clean doc nothing shared",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    res = curate.curate(df, exact_dedup=False, substring_n=4)
+    m = res.manifest
+    assert m == [{"stage": "substring_dedup", "rows_in": 3, "rows_out": 3}]
+    got = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    want = textfns.repeated_ngram_spans_py(texts, n=4, min_count=2)
+    for i, t in texts.items():
+        assert got[i] == textfns.cut_spans_py(t, want.get(i, []))
+    assert got[1] == "tail1 tail2" and got[3] == texts[3]
+    res.unpersist()
+
+
 def test_materialize_dir_and_resume(spark, crafted, tmp_path):
     cfg = dict(
         redact=True,
