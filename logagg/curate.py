@@ -2,6 +2,7 @@
 actually runs, built from the repo's individual operators.
 
     raw documents
+      → domain blocklist         (mix.filter_blocklist, broadcast hash join)
       → PII redaction            (textstats.redact_pii, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
@@ -73,6 +74,7 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     url_col: str | None = None,
+    blocklist: list[str] | None = None,
     redact: bool = False,
     langs: tuple[str, ...] | None = None,
     quality_min: float | None = None,
@@ -144,6 +146,14 @@ def curate(
         cur, n_cur = out, rows_out
         idx += 1
 
+    if blocklist is not None:
+        if url_col is None:
+            raise ValueError("blocklist requires url_col")
+        from logagg import mix
+
+        # first stage: a domain drop costs one broadcast hash join — run
+        # it before anything that touches the text
+        step("blocklist", lambda d: mix.filter_blocklist(d, blocklist, url_col=url_col))
     if redact:
         step("redact_pii", lambda d: d.withColumn(text_col, textstats.redact_pii(F.col(text_col))))
     if langs is not None:

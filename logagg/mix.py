@@ -1,0 +1,219 @@
+"""Corpus mixing, ordering, and blocklist filtering — the "assemble the
+training run" operators that sit between curation and the trainer.
+
+Reference scope note: the reference pipeline (aggregator/logs.py,
+aggregator/db.py) ends at routed, aggregated sinks; these operators cover
+the step a webtext user takes NEXT with those sinks — weighting sources
+into a mixture, fixing a reproducible training order, and dropping
+blocklisted domains. All pure Catalyst; every random-looking choice is a
+content-independent hash of (seed, id), so any run, engine, partitioning,
+or cluster size reproduces the same mixture and the same order.
+
+Scale shapes:
+
+* ``mix_sources`` — one broadcast join against a #sources-row weight table
+  plus a per-row hash; epoch repetition is an ``explode`` of a
+  ``ceil(weight)``-element sequence (rows grow by exactly the mixture's
+  oversampling factor, no shuffle).
+* ``temperature_weights`` — one partial+final count agg; the collect is
+  #sources rows (driver-sized by definition).
+* ``training_order`` — ``repartitionByRange`` on the hash key (one range
+  shuffle — the sampled range boundaries give balanced output tasks) +
+  ``sortWithinPartitions``: globally sorted output without a
+  single-partition sort.
+* ``filter_blocklist`` — the host-suffix chain is exploded (a host has
+  ≤ #labels suffixes, ~4-5 for real domains) and equi-joined against the
+  broadcast blocklist: a hash join, NOT the BroadcastNestedLoopJoin an
+  ``endswith`` OR-chain would force.
+
+Pure-Python twins: :func:`logagg.textfns.mix_uniform_py` /
+``mix_copies_py`` / ``host_suffixes_py`` (tests diff them row-exactly).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mix_uniform(id_col: Column, seed: str) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex chars of
+    md5("<seed>:<id>") as an integer, divided by 2^32.
+
+    Bit-identical across engines: the integer is < 2^32 (exact in a
+    double) and the divisor is a power of two (exact division), so Spark,
+    DuckDB (same expression in SQL) and the Python twin agree on every
+    bit. A new ``seed`` re-rolls every document independently."""
+    h = F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(4294967296.0)
+
+
+def mix_copies(id_col: Column, weight: Column, seed: str) -> Column:
+    """How many times this row appears in the mixture at sampling rate
+    ``weight`` (may exceed 1 — epoch repetition): ``floor(w)`` guaranteed
+    copies plus one more with probability ``frac(w)``, decided by the
+    content-independent uniform. Weight 0 → 0 copies, 2.3 → 2 or 3."""
+    base = F.floor(weight).cast("int")
+    frac = weight - F.floor(weight)
+    return (base + (mix_uniform(id_col, seed) < frac).cast("int")).alias("n_copies")
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    epoch_col: str = "mix_epoch",
+) -> DataFrame:
+    """Assemble a weighted mixture: each document of source ``s`` is
+    sampled ``weights[s]`` times in expectation (deterministically — the
+    same seed always keeps/repeats the same documents). Sources absent
+    from ``weights`` are dropped (an explicit mixture lists everything it
+    ships). Output rows carry ``epoch_col`` (0-based copy index) so a
+    downstream :func:`training_order` can interleave repeats instead of
+    clustering them.
+
+    The weight lookup is a broadcast hash join against a #sources-row
+    table — scales to any number of sources with no when-chain codegen
+    blowup and no shuffle of the docs side."""
+    for w in weights.values():
+        _check_weight(w)
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, _mix_weight double",
+    )
+    copies = mix_copies(F.col(id_col), F.col("_mix_weight"), seed)
+    return (
+        docs.join(F.broadcast(wdf), source_col)
+        .withColumn("_n_copies", copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_mix_weight", "_n_copies")
+    )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights (multilingual-LM style,
+    Conneau & Lample 2019 §3.1): sampling probability q_s ∝ p_s^alpha
+    where p_s is the source's share of the corpus, rescaled so the
+    expected mixture size is ``target_total`` rows (default: the input
+    size — reweight without growing). Returns {source: per-document
+    sampling rate} for :func:`mix_sources`.
+
+    alpha=1 reproduces the natural distribution; alpha→0 approaches
+    uniform-over-sources. One count aggregate; the collect is one row per
+    source (driver-sized by definition)."""
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    budget = total if target_total is None else target_total
+    q = {s: (n / total) ** alpha for s, n in counts.items()}
+    z = sum(q.values())
+    return {s: (q[s] / z) * budget / counts[s] for s in sorted(counts)}
+
+
+def training_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "order",
+    epoch_col: str | None = None,
+    key_col: str = "order_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fix a reproducible global training order: every row gets
+    ``key_col`` = md5("<seed>:<epoch>:<id>") and the frame comes back
+    range-partitioned + sorted on (key, id) — i.e. globally sorted, with
+    the sort parallel across ``num_partitions`` tasks (range boundaries
+    from Spark's reservoir sample; no single-partition funnel).
+
+    A different ``seed`` is a full reshuffle; with ``epoch_col`` (from
+    :func:`mix_sources`) the copies of a repeated document land at
+    independent positions instead of back-to-back. Writing the result
+    with ``.write`` preserves the order per output file, files themselves
+    ordered by partition id — the standard "pre-shuffled shards" layout
+    a trainer streams sequentially."""
+    epoch = F.col(epoch_col).cast("string") if epoch_col else F.lit("0")
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), epoch, F.lit(":"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    out = df.withColumn(key_col, key)
+    n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, key_col, id_col).sortWithinPartitions(key_col, id_col)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first:
+    'a.b.co' → ['a.b.co', 'b.co', 'co']. NULL host → empty array."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+    return F.when(host.isNull(), F.array().cast("array<string>")).otherwise(sufs)
+
+
+def filter_blocklist(
+    pages: DataFrame,
+    blocked: DataFrame | list[str],
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose url host equals a blocklisted domain or any
+    subdomain of one ('ads.evil.com' matches blocklist entry 'evil.com').
+    Standard crawl-curation domain blocklist semantics.
+
+    Scale shape: each page explodes into its host's suffix chain (≤
+    #labels entries) and equi-joins the broadcast blocklist — a broadcast
+    HASH join per suffix, not the BroadcastNestedLoopJoin that
+    ``endswith`` disjunctions force. Pages with an unparseable host have
+    no suffixes and are kept (the junk group is bounded elsewhere —
+    textstats.cap_per_domain). ``blocked`` is a one-column DataFrame or a
+    list of domains (lowercased on both sides; DNS names are
+    case-insensitive)."""
+    spark = pages.sparkSession
+    if isinstance(blocked, list):
+        bdf = spark.createDataFrame([(b,) for b in sorted(set(blocked))], "_blocked string")
+    else:
+        bdf = blocked.toDF("_blocked")
+    bdf = bdf.select(F.lower(F.col("_blocked")).alias("_blocked"))
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    hit = (
+        pages.select(F.col(url_col).alias("_u"), F.explode(host_suffixes(host)).alias("_suf"))
+        .join(F.broadcast(bdf), F.col("_suf") == F.col("_blocked"))
+        .select(F.col("_u"))
+        .distinct()
+    )
+    return pages.join(hit, pages[url_col] == hit["_u"], "left_anti")
+
+
+def expected_mixture_size(docs: DataFrame, weights: dict[str, float], source_col: str = "source") -> float:
+    """Exact expected row count of mix_sources(docs, weights) — one agg."""
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    return float(sum(counts.get(s, 0) * w for s, w in weights.items()))
+
+
+def _check_weight(w: float) -> None:
+    if not (w >= 0 and math.isfinite(w)):
+        raise ValueError(f"mixture weight must be finite and >= 0, got {w}")

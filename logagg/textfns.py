@@ -174,6 +174,39 @@ def repeated_ngram_spans_py(
     return out
 
 
+def mix_uniform_py(seed: str, doc_id) -> float:
+    """Twin of ``logagg.mix.mix_uniform``: first 8 hex chars of
+    md5("<seed>:<id>") over 2^32 — exact in a double (numerator < 2^32,
+    divisor a power of two), so equality with Spark is bitwise."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{doc_id}".encode("utf-8")).hexdigest()
+    return int(h[:8], 16) / 4294967296.0
+
+
+def mix_copies_py(seed: str, doc_id, weight: float) -> int:
+    """Twin of ``logagg.mix.mix_copies``: floor(w) + (u < frac(w))."""
+    import math
+
+    base = math.floor(weight)
+    return int(base) + (1 if mix_uniform_py(seed, doc_id) < (weight - base) else 0)
+
+
+def order_key_py(seed: str, epoch, doc_id) -> str:
+    """Twin of ``logagg.mix.training_order``'s key column."""
+    import hashlib
+
+    return hashlib.md5(f"{seed}:{epoch}:{doc_id}".encode("utf-8")).hexdigest()
+
+
+def host_suffixes_py(host: str | None) -> list[str]:
+    """Twin of ``logagg.mix.host_suffixes``."""
+    if host is None:
+        return []
+    parts = host.split(".")
+    return [".".join(parts[i:]) for i in range(len(parts))]
+
+
 def cut_spans_py(text: str, spans: list) -> str:
     """Remove the given token spans (start inclusive, end exclusive) from
     the text; remaining tokens re-join with single spaces (the pinned
