@@ -36,6 +36,16 @@ def main() -> None:
     ap.add_argument("--redact", action="store_true")
     ap.add_argument("--langs", default=None, help="comma-separated keep list")
     ap.add_argument("--quality-min", type=float, default=None)
+    ap.add_argument("--blocklist", default=None,
+                    help="file of blocked domains, one per line (requires --url-col)")
+    ap.add_argument("--ppl-max", type=float, default=None,
+                    help="keep docs with LM perplexity <= this (CCNet-style)")
+    ap.add_argument("--lm-model", default=None,
+                    help="LM json path: loaded if it exists, else trained and saved here")
+    ap.add_argument("--lm-train", default=None,
+                    help="clean-corpus parquet to train the LM on (default: the input docs)")
+    ap.add_argument("--lm-top-k", type=int, default=50_000)
+    ap.add_argument("--lm-max-bigrams", type=int, default=500_000)
     ap.add_argument("--repetition", action="store_true", help="Gopher default limits")
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true")
@@ -56,11 +66,38 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
 
+    blocklist = None
+    if args.blocklist:
+        with open(args.blocklist) as fh:
+            blocklist = [ln.strip() for ln in fh if ln.strip()]
+
+    ppl_lm = None
+    if args.ppl_max is not None:
+        from logagg import lm as lmmod
+
+        if args.lm_model and os.path.exists(args.lm_model):
+            with open(args.lm_model) as fh:
+                ppl_lm = lmmod.LocalLM.from_json(fh.read())
+        else:
+            train_docs = spark.read.parquet(args.lm_train) if args.lm_train else docs
+            ppl_lm = lmmod.train_lm(
+                train_docs,
+                top_k=args.lm_top_k,
+                max_bigrams=args.lm_max_bigrams,
+                text_col=args.text_col,
+            )
+            if args.lm_model:
+                with open(args.lm_model, "w") as fh:
+                    fh.write(ppl_lm.to_json())
+
     res = curate.curate(
         docs,
         id_col=args.id_col,
         text_col=args.text_col,
         url_col=args.url_col,
+        blocklist=blocklist,
+        ppl_lm=ppl_lm,
+        ppl_max=args.ppl_max,
         redact=args.redact,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         quality_min=args.quality_min,

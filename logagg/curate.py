@@ -6,6 +6,7 @@ actually runs, built from the repo's individual operators.
       → PII redaction            (textstats.redact_pii, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
+      → LM perplexity filter     (lm.doc_perplexity, broadcast model, Arrow pass)
       → repetition filter        (textstats.repetition_stats, one Arrow pass)
       → exact dedup              (dedup.exact_dupes, one hash agg)
       → near dedup               (dedup.minhash_lsh_dupes + dup_clusters)
@@ -78,6 +79,8 @@ def curate(
     redact: bool = False,
     langs: tuple[str, ...] | None = None,
     quality_min: float | None = None,
+    ppl_lm=None,
+    ppl_max: float | None = None,
     repetition_limits: dict[str, float] | None = None,
     exact_dedup: bool = True,
     near_dedup: bool = False,
@@ -170,6 +173,24 @@ def curate(
                 textstats.quality_score(F.col(text_col), F.length(text_col)) >= quality_min
             ),
         )
+    if ppl_lm is not None:
+        if ppl_max is None:
+            raise ValueError("ppl_lm requires ppl_max")
+        from logagg import lm as lmmod
+
+        def ppl_stage(d: DataFrame) -> DataFrame:
+            # CCNet-style LM quality gate: score every doc in one Arrow
+            # pass (broadcast model, zero shuffles), keep low-perplexity
+            # docs. Zero-token docs score NULL and drop here (nothing to
+            # keep). The keep-list semi-join is on the string-cast id —
+            # Arrow kernels carry ids as strings.
+            scored = lmmod.doc_perplexity(d, ppl_lm, id_col=id_col, text_col=text_col)
+            keep = scored.filter(F.col("ppl") <= ppl_max).select("id")
+            return d.join(
+                keep, F.col(id_col).cast("string") == keep["id"], "left_semi"
+            )
+
+        step("perplexity_filter", ppl_stage)
     if repetition_limits is not None:
         limits = repetition_limits
 

@@ -1,0 +1,246 @@
+"""N-gram language-model perplexity filtering — the CCNet-style quality
+stage of a webtext curation pipeline (Wenzek et al. 2020 train a KenLM on
+clean text and bucket crawl documents by perplexity; Brants et al. 2007
+"Large Language Models in Machine Translation" define the stupid-backoff
+score used here, the standard choice at web scale precisely because it
+needs only raw counts).
+
+Reference scope note: the reference pipeline (aggregator/logs.py) ends at
+routed aggregates; this module covers the model-based quality filter a
+webtext user runs on those documents next. No external model files — the
+LM is trained ON a reference corpus slice with Spark and carried as a
+bounded in-memory table, the moral equivalent of the KenLM binary CCNet
+ships to every worker.
+
+Scale shapes:
+
+* :func:`unigram_counts` — explode + one partial+final hash agg; shuffle
+  rows = distinct tokens, not corpus tokens.
+* :func:`train_lm` — two passes: (1) unigram agg → top-k vocab selected by
+  a TakeOrdered plan (driver receives exactly ``top_k`` rows — bounded by
+  construction, like every other driver collect in this repo); (2) one
+  Arrow pass that pre-aggregates bigram counts PER BATCH (a Python
+  map-side combine: the shuffle then carries per-batch distinct bigrams,
+  not one row per corpus position) followed by a hash agg, again capped by
+  a TakeOrdered. Model size is (top_k + max_bigrams) rows by construction.
+* :func:`doc_perplexity` / :func:`with_perplexity` — sc.broadcast(model)
+  + scan → mapInPandas. Zero shuffles; the classic "ship the LM to every
+  executor, score embarrassingly parallel" plan.
+
+Determinism: all counts are exact integers; vocab/bigram selection orders
+by (count desc, gram asc); scoring folds log-probs left-to-right per
+document in one CPython kernel — bit-identical across runs, partitionings
+and cluster sizes. The scoring math lives ONCE in
+:func:`logagg.textfns.score_tokens_py` (same single-source pattern as
+``repetition_stats``); tests pin it with hand-computed literals.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logagg.schemas import LM_BACKOFF_ALPHA as BACKOFF_ALPHA
+from logagg.schemas import LM_UNK as UNK
+from logagg.textstats import tokens_col
+
+
+@dataclass
+class LocalLM:
+    """A pruned bigram LM with stupid backoff, small enough to broadcast.
+
+    ``vocab`` maps token → corpus count for the ``top_k`` kept tokens;
+    every other token scores as :data:`UNK`, whose count is
+    ``total - sum(vocab)`` — exact without a second corpus pass. ``bigrams``
+    maps "w1 w2" (tokens never contain whitespace, so the join is
+    unambiguous) → count over the UNK-mapped token stream."""
+
+    vocab: dict[str, int]
+    unk_n: int
+    total: int
+    bigrams: dict[str, int] = field(default_factory=dict)
+    alpha: float = BACKOFF_ALPHA
+
+    @property
+    def n_vocab(self) -> int:
+        return len(self.vocab) + 1  # + the UNK bucket
+
+    def count(self, mapped_token: str) -> int:
+        return self.unk_n if mapped_token == UNK else self.vocab[mapped_token]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "vocab": self.vocab,
+                "unk_n": self.unk_n,
+                "total": self.total,
+                "bigrams": self.bigrams,
+                "alpha": self.alpha,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "LocalLM":
+        d = json.loads(s)
+        return cls(
+            vocab=d["vocab"],
+            unk_n=d["unk_n"],
+            total=d["total"],
+            bigrams=d["bigrams"],
+            alpha=d["alpha"],
+        )
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n) corpus counts — explode + one partial+final hash agg."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _bigram_batches_fn(vocab: set):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from logagg.textfns import tokens
+
+        for pdf in batches:
+            counts: Counter = Counter()  # per-batch map-side combine
+            for text in pdf["text"]:
+                toks = tokens(text) if isinstance(text, str) else []
+                mapped = [t if t in vocab else UNK for t in toks]
+                for a, b in zip(mapped, mapped[1:]):
+                    counts[a + " " + b] += 1
+            if counts:
+                yield pd.DataFrame(
+                    {"gram": list(counts.keys()), "pn": list(counts.values())}
+                )
+
+    return fn
+
+
+def bigram_counts(docs: DataFrame, vocab: set, text_col: str = "text") -> DataFrame:
+    """(gram "w1 w2", n) counts over the UNK-mapped token stream. One Arrow
+    pass emitting per-batch partial counts, then a hash agg — the shuffle
+    carries per-batch DISTINCT bigrams, not one row per corpus position."""
+    src = docs.select(F.col(text_col).alias("text"))
+    partial = src.mapInPandas(_bigram_batches_fn(vocab), schema="gram string, pn long")
+    return partial.groupBy("gram").agg(F.sum("pn").alias("n"))
+
+
+def train_lm(
+    docs: DataFrame,
+    *,
+    top_k: int = 50_000,
+    max_bigrams: int = 500_000,
+    min_bigram_count: int = 1,
+    text_col: str = "text",
+) -> LocalLM:
+    """Train the pruned bigram LM on ``docs`` (two distributed passes, see
+    module docstring). Both collects are bounded by ``top_k`` /
+    ``max_bigrams`` by construction; selection is deterministic under
+    (count desc, gram asc)."""
+    uni = unigram_counts(docs, text_col=text_col)
+    total_row = uni.agg(F.sum("n").alias("t"), F.count("*").alias("d")).collect()[0]
+    total = int(total_row["t"] or 0)
+    # a literal "<unk>" token must land in the UNK bucket on BOTH sides of
+    # the train/score contract — keep it out of the vocab so the mapping
+    # `t if t in vocab else UNK` is the same expression everywhere
+    top = (
+        uni.filter(F.col("token") != UNK)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_k)
+        .collect()
+    )
+    vocab = {r["token"]: r["n"] for r in top}
+    unk_n = total - sum(vocab.values())
+    big = (
+        bigram_counts(docs, set(vocab), text_col=text_col)
+        .filter(F.col("n") >= min_bigram_count)
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(max_bigrams)
+        .collect()
+    )
+    return LocalLM(vocab=vocab, unk_n=unk_n, total=total, bigrams={r["gram"]: r["n"] for r in big})
+
+
+def _ppl_batches_fn(bc):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logagg.textfns import score_tokens_py, tokens
+
+        lm = bc.value
+        for pdf in batches:
+            ids, nt, lp, ppl = [], [], [], []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                toks = tokens(text) if isinstance(text, str) else []
+                n, logp, p = score_tokens_py(toks, lm)
+                ids.append(did)
+                nt.append(n)
+                lp.append(logp)
+                ppl.append(p)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="string"),
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                    "logprob": pd.Series(lp, dtype="float64"),
+                    "ppl": pd.Series(ppl, dtype="float64"),
+                }
+            )
+
+    return fn
+
+
+def doc_perplexity(
+    docs: DataFrame,
+    lm: LocalLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document stupid-backoff perplexity: (id string, n_tokens,
+    logprob, ppl). Zero-token documents get ppl NULL (no tokens to judge —
+    callers decide their fate separately). The model rides one
+    ``sc.broadcast`` (torrent-distributed once per executor, not pickled
+    per task); ids ride the kernel as strings like every Arrow kernel in
+    the repo (identity for url keys; use :func:`with_perplexity` to get
+    the score joined back onto the original frame/id type)."""
+    bc = docs.sparkSession.sparkContext.broadcast(lm)
+    src = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        _ppl_batches_fn(bc), schema="id string, n_tokens long, logprob double, ppl double"
+    )
+
+
+def with_perplexity(
+    docs: DataFrame,
+    lm: LocalLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "ppl",
+) -> DataFrame:
+    """``docs`` plus a ``ppl`` column — the scoring kernel joined back on
+    the string-cast id (Arrow kernels carry string ids; the join restores
+    the caller's id type)."""
+    scored = doc_perplexity(docs, lm, id_col=id_col, text_col=text_col).select(
+        F.col("id").alias("_ppl_id"), F.col("ppl").alias(out_col)
+    )
+    return docs.join(
+        scored, F.col(id_col).cast("string") == F.col("_ppl_id"), "left"
+    ).drop("_ppl_id")
+
+
+def perplexity_py(text: str, lm: LocalLM) -> float | None:
+    """Driver-side convenience twin caller (tests / notebooks)."""
+    from logagg.textfns import score_tokens_py, tokens
+
+    return score_tokens_py(tokens(text), lm)[2]

@@ -112,3 +112,9 @@ JACCARD_DEN = 4
 # rolling-hash fingerprint: polynomial base/modulus over UTF-8 bytes
 FP_BASE = 257
 FP_MOD = (1 << 61) - 1
+
+# bigram-LM perplexity filter (CCNet-style quality stage): the UNK bucket
+# token (whitespace-free, can never collide with a real token — tokens are
+# whitespace-split) and the stupid-backoff weight (Brants et al. 2007 §4).
+LM_UNK = "<unk>"
+LM_BACKOFF_ALPHA = 0.4

@@ -216,3 +216,56 @@ def cut_spans_py(text: str, spans: list) -> str:
     for a, b in spans:
         drop.update(range(a, b))
     return " ".join(t for i, t in enumerate(ts) if i not in drop)
+
+
+def score_tokens_py(toks: list, lm) -> tuple:
+    """Stupid-backoff bigram scoring — THE single-source kernel behind
+    ``logagg.lm.doc_perplexity`` (same pattern as repetition_stats_py):
+    left-to-right over the UNK-mapped token stream,
+
+        S(w | prev) = c(prev w) / c(prev)          when the bigram is kept
+                    = alpha * S_uni(w)             otherwise
+        S_uni(w)    = (c(w) + 1) / (total + V)     (add-one: UNK may have
+                                                    count 0; V counts the
+                                                    UNK bucket)
+
+    with no alpha on the first token (no context to back off from).
+    Returns (n_tokens, sum log S, perplexity = exp(-mean log S)); empty
+    docs return (0, 0.0, None). Deterministic: integer counts, a fixed
+    fold order, one libm — bit-identical across runs and partitionings.
+    ``lm`` is any object with vocab/unk_n/total/bigrams/alpha/n_vocab
+    (duck-typed so this module stays import-cycle-free)."""
+    import math
+
+    from logagg.schemas import LM_UNK
+
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, None
+    v = lm.n_vocab
+    logp = 0.0
+    prev = None
+    for t in toks:
+        w = t if t in lm.vocab else LM_UNK
+        big = lm.bigrams.get(prev + " " + w) if prev is not None else None
+        if big:
+            logp += math.log(big / (lm.unk_n if prev == LM_UNK else lm.vocab[prev]))
+        else:
+            uni = ((lm.unk_n if w == LM_UNK else lm.vocab[w]) + 1) / (lm.total + v)
+            logp += math.log(uni if prev is None else lm.alpha * uni)
+        prev = w
+    return n, logp, math.exp(-logp / n)
+
+
+def chunk_documents_py(text: str, max_tokens: int, overlap: int = 0) -> list:
+    """Twin of ``textstats.chunk_documents``: the list of chunk texts for
+    one document, in chunk_idx order."""
+    import math
+
+    ts = tokens(text)
+    n = len(ts)
+    if n == 0:
+        return []
+    step = max_tokens - overlap
+    last = 0 if n <= max_tokens else math.ceil((n - max_tokens) / step)
+    return [" ".join(ts[k * step : k * step + max_tokens]) for k in range(last + 1)]

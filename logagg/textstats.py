@@ -370,3 +370,56 @@ def redact_pii(text: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ------------------------------------------------- context-window chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into context-length token windows — the
+    "chunk long documents to the model's context size" stage of a training
+    pipeline (tokenizer-style sliding windows: chunk k covers tokens
+    [k*step, k*step + max_tokens) with step = max_tokens - overlap; the
+    last window is the first one reaching the end of the doc, so no chunk
+    is ever a suffix of its predecessor). Chunk text re-joins tokens with
+    single spaces (the same pinned whitespace normalization as the
+    exact-substring cut). Zero-token docs yield no chunks.
+
+    Output: (id, chunk_idx int, n_tokens int, chunk_text string).
+
+    Scale shape: pure Catalyst 1→N explode (sequence + slice + array_join,
+    all JVM codegen) — zero shuffles, zero Python; the same shape as
+    media_frame_sample. Twin: :func:`logagg.textfns.chunk_documents_py`."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    step = max_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(F.col("_toks"))
+    # last chunk index: 0 when the doc fits, else ceil((n - max)/step)
+    # ((n - max)/step is exact in a double for any real token count)
+    last = F.when(n <= max_tokens, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(step))
+    )
+    start = F.col("chunk_idx") * step
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), last)))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(max_tokens), n - start).cast("int").alias("n_tokens"),
+            F.array_join(F.slice("_toks", start + 1, F.lit(max_tokens)), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )

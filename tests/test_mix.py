@@ -113,6 +113,19 @@ def test_training_order_is_global_hash_order(spark, docs):
     assert keys == expected
 
 
+def test_training_order_plan_has_no_single_partition_sort(spark, docs):
+    # the global order must come from range partitioning + per-partition
+    # sort — never a sort funneled through one partition
+    plan = (
+        mix.training_order(docs, num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
 def test_training_order_epochs_interleave(spark, docs):
     mixed = mix.mix_sources(docs, {s: 2.0 for s in ("src0", "src1")}, seed="m")
     out = mix.training_order(
