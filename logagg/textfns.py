@@ -269,3 +269,35 @@ def chunk_documents_py(text: str, max_tokens: int, overlap: int = 0) -> list:
     step = max_tokens - overlap
     last = 0 if n <= max_tokens else math.ceil((n - max_tokens) / step)
     return [" ".join(ts[k * step : k * step + max_tokens]) for k in range(last + 1)]
+
+
+def bpe_word_py(word: str, ranks: dict) -> list:
+    """GPT-2-style BPE application to one pre-token — THE single-source
+    kernel behind ``logagg.bpe.bpe_encode``: repeatedly merge ALL
+    occurrences of the present pair with the lowest merge rank until no
+    adjacent pair is ranked. Equivalent to replaying the learned merges
+    in training order restricted to pairs actually present — the standard
+    encoder formulation. Deterministic: ranks are unique, so the min is;
+    unranked pairs never merge."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        a, b = best
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
