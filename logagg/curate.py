@@ -200,8 +200,12 @@ def curate(
             for col, mx in limits.items():
                 c = F.col(col) <= mx
                 cond = c if cond is None else (cond & c)
-            keep = stats.filter(cond).select(id_col)
-            return d.join(keep, id_col)
+            # keep-list semi-join on the string-cast id — Arrow kernels
+            # carry ids as strings (url-keyed corpora work unchanged)
+            keep = stats.filter(cond).select("id")
+            return d.join(
+                keep, F.col(id_col).cast("string") == keep["id"], "left_semi"
+            )
 
         step("repetition_filter", rep_stage)
     if exact_dedup:

@@ -255,15 +255,18 @@ def _repetition_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
     for pdf in batches:
         rows = []
-        for did, text in zip(pdf["doc_id"], pdf["text"]):
+        for did, text in zip(pdf["id"], pdf["text"]):
             st = textfns.repetition_stats_py(text if isinstance(text, str) else "")
-            st["doc_id"] = did
+            st["id"] = did
             rows.append(st)
-        yield pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["id"] = out["id"].astype("string")
+        yield out
 
 
 REPETITION_SCHEMA = (
-    "doc_id long, n_lines int, dup_line_frac double, dup_line_char_frac double, "
+    "id string, n_lines int, dup_line_frac double, dup_line_char_frac double, "
     "top2_char_frac double, top3_char_frac double, top4_char_frac double, "
     "dup10_char_frac double"
 )
@@ -282,10 +285,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     100 TB the plan is scan → mapInPandas → (downstream filter), the best
     possible shape. Kernel delegates to textfns.repetition_stats_py — the
     same single-source-of-truth pattern as _shingle_batches_fn; crafted
-    hand-computed fixtures in tests pin the math itself."""
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    out = src.mapInPandas(_repetition_batches, schema=REPETITION_SCHEMA)
-    return out.withColumnRenamed("doc_id", id_col)
+    hand-computed fixtures in tests pin the math itself.
+
+    Output id column is ``id``, string-typed — the repo-wide Arrow-kernel
+    id convention (identity for url keys; numeric callers join back on a
+    string cast, as ``curate`` does)."""
+    src = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(_repetition_batches, schema=REPETITION_SCHEMA)
 
 
 # ------------------------------------------------- per-domain capping
@@ -421,5 +429,40 @@ def chunk_documents(
             F.array_join(F.slice("_toks", start + 1, F.lit(max_tokens)), " ").alias(
                 "chunk_text"
             ),
+        )
+    )
+
+
+# ------------------------------------------------- corpus datasheet
+
+
+def corpus_report(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus datasheet a data team publishes next to a training set:
+    per (source × predicted language) document/token/char counts and mean
+    quality, with per-source subtotals and a grand total from ONE
+    ``rollup`` pass (Catalyst expands the grouping sets inside a single
+    partial+final aggregate — no per-level jobs, no second scan).
+
+    Subtotal rows carry NULL in the rolled-up columns (standard SQL
+    rollup semantics). Language ID and quality are the repo's pinned
+    Catalyst expressions — the whole report is JVM-side."""
+    enriched = with_lang_pred(docs, text_col=text_col, out_col="lang_pred")
+    return (
+        enriched.rollup(source_col, "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+            F.avg(quality_score(F.col(text_col), F.length(text_col))).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy(
+            F.col(source_col).asc_nulls_first(), F.col("lang_pred").asc_nulls_first()
         )
     )

@@ -206,3 +206,23 @@ def test_materialize_dir_and_resume(spark, crafted, tmp_path):
     resumed = curate.curate(poisoned, materialize_dir=mdir, resume=True, **cfg)
     assert key(resumed.docs) == key(plain.docs)
     assert [s["stage"] for s in resumed.manifest] == [s["stage"] for s in plain.manifest]
+
+
+def test_repetition_stage_with_url_keys(spark):
+    # the Arrow kernel carries string ids — a url-keyed corpus (no numeric
+    # doc_id) must flow through the repetition stage unchanged
+    rows = [
+        ("http://a.example/x", "a normal little document with words"),
+        ("http://b.example/y", "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    res = curate.curate(
+        df,
+        id_col="url",
+        repetition_limits={"top2_char_frac": 0.5},
+        exact_dedup=False,
+    )
+    kept = [r["url"] for r in res.docs.select("url").collect()]
+    assert kept == ["http://a.example/x"]
+    assert res.manifest[0]["rows_out"] == 1
+    res.unpersist()

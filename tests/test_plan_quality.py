@@ -47,3 +47,12 @@ def test_pack_sequences_plan_contract(spark):
     from explain_plans import pack_plan_contract
 
     assert pack_plan_contract(spark) == []
+
+
+def test_model_ops_plan_contract(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_plans import model_ops_plan_contract
+
+    assert model_ops_plan_contract(spark) == []

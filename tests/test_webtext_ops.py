@@ -24,8 +24,8 @@ SF = "/root/testdata/sf0.001"
 def test_repetition_stats_hand_computed(spark):
     text1 = "a b a b a b c\nx\nx\n"
     df = spark.createDataFrame([(1, text1), (2, "")], "doc_id long, text string")
-    rows = {r["doc_id"]: r.asDict() for r in textstats.repetition_stats(df).collect()}
-    r1 = rows[1]
+    rows = {r["id"]: r.asDict() for r in textstats.repetition_stats(df).collect()}
+    r1 = rows["1"]
     # lines: ['a b a b a b c', 'x', 'x'] -> 3 lines, 'x' duplicated
     assert r1["n_lines"] == 3
     assert r1["dup_line_frac"] == pytest.approx(1 / 3)
@@ -39,7 +39,7 @@ def test_repetition_stats_hand_computed(spark):
     # top 4-gram: 'a b a b' x2 is the only repeated 4-gram
     assert r1["top4_char_frac"] == pytest.approx(2 * 7 / 18)
     assert r1["dup10_char_frac"] == 0.0
-    r2 = rows[2]
+    r2 = rows["2"]
     assert r2["n_lines"] == 0 and r2["dup_line_frac"] == 0.0
     assert r2["top2_char_frac"] == 0.0 and r2["dup10_char_frac"] == 0.0
 
@@ -56,12 +56,12 @@ def test_repetition_stats_dup10(spark):
 
 def test_repetition_stats_corpus_matches_twin(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    got = {r["doc_id"]: r.asDict() for r in textstats.repetition_stats(docs).collect()}
+    got = {r["id"]: r.asDict() for r in textstats.repetition_stats(docs).collect()}
     src = docs.select("doc_id", "text").collect()
     assert len(got) == len(src)
     for r in src:
         want = textfns.repetition_stats_py(r["text"])
-        g = got[r["doc_id"]]
+        g = got[str(r["doc_id"])]
         for k, v in want.items():
             assert g[k] == pytest.approx(v), (r["doc_id"], k)
 
@@ -210,3 +210,61 @@ def test_cap_per_domain_no_single_partition_exchange(spark, urls_df):
     df, _ = urls_df
     plan = textstats.cap_per_domain(df, cap=10)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+# ------------------------------------------------- corpus datasheet
+
+
+def test_corpus_report_rollup_levels(spark, docs_df):
+    rep = textstats.corpus_report(docs_df).collect()
+    total = [r for r in rep if r["source"] is None and r["lang_pred"] is None]
+    assert len(total) == 1 and total[0]["n_docs"] == docs_df.count()
+    # per-source subtotals equal the sum of their language rows
+    per_source = {}
+    leaf = {}
+    for r in rep:
+        if r["source"] is not None and r["lang_pred"] is None:
+            per_source[r["source"]] = r
+        elif r["source"] is not None:
+            leaf.setdefault(r["source"], []).append(r)
+    assert per_source and leaf
+    for s, sub in per_source.items():
+        assert sub["n_docs"] == sum(r["n_docs"] for r in leaf[s])
+        assert sub["n_tokens"] == sum(r["n_tokens"] for r in leaf[s])
+        assert sub["n_chars"] == sum(r["n_chars"] for r in leaf[s])
+
+
+def test_corpus_report_matches_python(spark, docs_df):
+    rep = {
+        (r["source"], r["lang_pred"]): r
+        for r in textstats.corpus_report(docs_df).collect()
+    }
+    rows = docs_df.select("source", "text").collect()
+    agg = {}
+    for r in rows:
+        key = (r["source"], textfns.lang_id(r["text"]))
+        n_tok = len(textfns.tokens(r["text"]))
+        q = textfns.quality_score(r["text"], len(r["text"]))
+        d = agg.setdefault(key, [0, 0, 0, 0.0])
+        d[0] += 1
+        d[1] += n_tok
+        d[2] += len(r["text"])
+        d[3] += q
+    assert set(k for k in rep if k[0] is not None and k[1] is not None) == set(agg)
+    for key, (nd, nt, nc, qsum) in agg.items():
+        g = rep[key]
+        assert (g["n_docs"], g["n_tokens"], g["n_chars"]) == (nd, nt, nc)
+        assert g["avg_quality"] == pytest.approx(qsum / nd)
+
+
+def test_corpus_report_single_aggregate_plan(spark, docs_df):
+    # the rollup must be ONE partial+final aggregate pass (Expand feeds a
+    # single pair of HashAggregates) — not a union of per-level scans
+    plan = (
+        textstats.corpus_report(docs_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 1
+    assert "Expand" in plan

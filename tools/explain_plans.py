@@ -163,6 +163,52 @@ def pack_plan_contract(spark) -> list[str]:
     return failures
 
 
+def model_ops_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of the model-based ops:
+
+    * ``lm.doc_perplexity`` and ``bpe.bpe_encode`` must be pure
+      scan → mapInPandas pipelines — a broadcast model scores/encodes
+      embarrassingly parallel, so ANY Exchange in the plan is a bug;
+    * the training counts (``lm.unigram_counts``, ``bpe.word_counts``)
+      must partial-aggregate before their one hash-partition exchange
+      (the shuffle carries distinct grams, not corpus positions).
+
+    Returns a list of failure strings (empty = contract holds)."""
+    from logagg import bpe, lm
+
+    failures: list[str] = []
+    docs = spark.createDataFrame(
+        [(i, "some text here for the plan") for i in range(10)],
+        "doc_id long, text string",
+    )
+
+    model = lm.LocalLM(vocab={"some": 1, "text": 1}, unk_n=0, total=2)
+    bmodel = bpe.BPEModel(merges=[("s", "o")], vocab={"s": 0, "o": 1, "so": 2})
+    for name, df in (
+        ("lm.doc_perplexity", lm.doc_perplexity(docs, model)),
+        ("bpe.bpe_encode", bpe.bpe_encode(docs, bmodel)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            failures.append(f"{name}: plan contains an Exchange (must be map-only)")
+        if "MapInPandas" not in plan:
+            failures.append(f"{name}: no MapInPandas node (Arrow kernel missing)")
+
+    for name, df, key in (
+        ("lm.unigram_counts", lm.unigram_counts(docs), "token"),
+        ("bpe.word_counts", bpe.word_counts(docs), "word"),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if not re.search(r"partial_count", plan):
+            failures.append(f"{name}: no partial aggregate before the shuffle")
+        if not re.search(rf"hashpartitioning\({key}", plan):
+            failures.append(f"{name}: exchange not hash-partitioned on {key}")
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -206,6 +252,13 @@ def main(only: list[str]) -> int:
         if not pfails:
             print("  [ok] bucket-partitioned window, no single-partition exchange")
         rc |= 1 if pfails else 0
+        print(f"{'='*70}\nmodel-ops (lm/bpe) plan contract\n{'='*70}")
+        mfails = model_ops_plan_contract(spark)
+        for msg in mfails:
+            print(f"  [VIOLATION] {msg}")
+        if not mfails:
+            print("  [ok] map-only scoring/encoding; partial-agg'd training counts")
+        rc |= 1 if mfails else 0
     return rc
 
 
