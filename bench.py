@@ -521,6 +521,22 @@ def _headline():
         df.unpersist()
         return n
 
+    def lm_run(spark, sf_dir):
+        # train + score every pass (no memo): the timed number is the real
+        # train-the-LM-then-score-the-corpus pipeline
+        from logagg import lm as lmmod
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = lmmod.train_lm(docs)
+        return lmmod.doc_perplexity(docs, model)
+
+    def bpe_run(spark, sf_dir):
+        from logagg import bpe as bpemod
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = bpemod.train_bpe(docs, n_merges=200)
+        return bpemod.bpe_encode(docs, model)
+
     return {
         "parse_records": (qs["parse_records"], count),
         "curate_e2e": (curate_run, count_unpersist),
@@ -537,6 +553,8 @@ def _headline():
         "doc_fingerprints": (qs["doc_fingerprints"], count),
         "dedup_clusters": (qs["dedup_clusters"], collect),
         "doc_hash_split": (qs["doc_hash_split"], collect),
+        "lm_train_score": (lm_run, count),
+        "bpe_train_encode": (bpe_run, count),
         "tpch_q1": (qs["tpch_q1"], collect),
         "tpch_q9_profit": (qs["tpch_q9_profit"], collect),
         "grok_error_codes": (qs["grok_error_codes"], count),
