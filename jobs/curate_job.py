@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--url-col", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--redact", action="store_true")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="drop corpus-wide duplicate paragraphs (CCNet-style)")
     ap.add_argument("--langs", default=None, help="comma-separated keep list")
     ap.add_argument("--quality-min", type=float, default=None)
     ap.add_argument("--blocklist", default=None,
@@ -99,6 +101,7 @@ def main() -> None:
         ppl_lm=ppl_lm,
         ppl_max=args.ppl_max,
         redact=args.redact,
+        paragraph_dedup=args.paragraph_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         quality_min=args.quality_min,
         repetition_limits=curate.DEFAULT_REPETITION_LIMITS if args.repetition else None,

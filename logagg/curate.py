@@ -4,6 +4,7 @@ actually runs, built from the repo's individual operators.
     raw documents
       → domain blocklist         (mix.filter_blocklist, broadcast hash join)
       → PII redaction            (textstats.redact_pii, Catalyst)
+      → paragraph dedup          (dedup.dedup_paragraphs, CCNet-style, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
       → LM perplexity filter     (lm.doc_perplexity, broadcast model, Arrow pass)
@@ -77,6 +78,7 @@ def curate(
     url_col: str | None = None,
     blocklist: list[str] | None = None,
     redact: bool = False,
+    paragraph_dedup: bool = False,
     langs: tuple[str, ...] | None = None,
     quality_min: float | None = None,
     ppl_lm=None,
@@ -159,6 +161,18 @@ def curate(
         step("blocklist", lambda d: mix.filter_blocklist(d, blocklist, url_col=url_col))
     if redact:
         step("redact_pii", lambda d: d.withColumn(text_col, textstats.redact_pii(F.col(text_col))))
+    if paragraph_dedup:
+        # CCNet order: paragraph-level boilerplate removal comes BEFORE
+        # language/quality/LM judgments — headers and cookie banners skew
+        # every downstream signal. Transform-only (rows survive with
+        # rewritten text); the accounting columns are dropped here, the
+        # manifest carries the stage's row identity
+        step(
+            "paragraph_dedup",
+            lambda d: dedup.dedup_paragraphs(d, id_col=id_col, text_col=text_col).drop(
+                "n_paras_kept", "n_paras_dropped"
+            ),
+        )
     if langs is not None:
         step(
             "language_filter",

@@ -1126,3 +1126,90 @@ def cut_repeated_spans(
             yield out
 
     return joined.mapInPandas(run, schema=df.schema)
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph deduplication (Wenzek et al. 2020 §3.1: hash
+    every paragraph, drop duplicate paragraphs corpus-wide keeping one
+    occurrence — the single most effective boilerplate killer for web
+    crawls, since headers/footers/cookie banners repeat across pages of a
+    site while full documents don't).
+
+    Contract: paragraphs split on blank lines (``\\n\\n+``, empties
+    skipped); the kept occurrence of each distinct paragraph is the one
+    with the smallest (md5("<id>:<idx>"), id, idx) — content-independent
+    and reproducible across runs, engines, and partitionings. Surviving
+    paragraphs re-join with "\\n\\n" in original order (the pinned
+    paragraph-boundary normalization, same spirit as the token re-join of
+    the substring cut). Documents whose every paragraph was dropped come
+    back with empty text. Returns ``docs`` with ``text_col`` rewritten
+    and ``n_paras_kept`` / ``n_paras_dropped`` accounting columns.
+
+    Scale shape — all Catalyst, skew-proof: posexplode (1→N, narrow) →
+    the keeper per paragraph-hash comes from ``min_by``-style
+    ``min(struct(...))`` in ONE partial+final hash agg (map-side combine
+    absorbs hot hashes — the cookie-banner paragraph repeated 10^9 times
+    partial-aggregates to one row per map task; a row_number window here
+    would serialize that hash onto one task) → broadcast-free semi-join
+    of kept (id, idx) → per-doc re-assembly under one hash agg
+    (array_agg + array_sort; groups are doc-sized, never corpus-sized).
+    Twin: :func:`logagg.textfns.dedup_paragraphs_py`."""
+    ids = F.col(id_col).cast("string")
+    paras = (
+        docs.select(
+            ids.alias("_pid"),
+            F.posexplode(F.split(F.col(text_col), r"\n\n+")).alias("_idx", "_para"),
+        )
+        .filter(F.col("_para") != "")
+    )
+    okey = F.md5(
+        F.concat(F.col("_pid"), F.lit(":"), F.col("_idx").cast("string")).cast("binary")
+    )
+    tagged = paras.select(
+        "_pid", "_idx", "_para", F.md5(F.col("_para").cast("binary")).alias("_h"),
+        okey.alias("_okey"),
+    )
+    # the keeper struct is unique per occurrence, so joining on it alone
+    # suffices (its equality implies the hash-group match); a left_semi on
+    # the three fields keeps the plan a plain hash join, no self-join
+    # attribute aliasing needed
+    keepers = (
+        tagged.groupBy("_h")
+        .agg(F.min(F.struct("_okey", "_pid", "_idx")).alias("_keep"))
+        .select("_keep._okey", "_keep._pid", "_keep._idx")
+    )
+    kept = tagged.join(keepers, ["_okey", "_pid", "_idx"], "left_semi").select(
+        "_pid", "_idx", "_para"
+    )
+    rebuilt = kept.groupBy("_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"],
+            ),
+            "\n\n",
+        ).alias("_new_text"),
+        F.count("*").alias("n_paras_kept"),
+    )
+    totals = paras.groupBy("_pid").agg(F.count("*").alias("_n_paras"))
+    out = (
+        docs.join(rebuilt, ids == rebuilt["_pid"], "left")
+        .drop("_pid")
+        .join(totals, ids == totals["_pid"], "left")
+        .drop("_pid")
+    )
+    return out.select(
+        *[c for c in docs.columns if c != text_col],
+        F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("int").alias("n_paras_kept"),
+        (F.coalesce(F.col("_n_paras"), F.lit(0)) - F.coalesce(F.col("n_paras_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_paras_dropped"),
+    )

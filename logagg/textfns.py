@@ -301,3 +301,40 @@ def bpe_word_py(word: str, ranks: dict) -> list:
                 i += 1
         syms = out
     return syms
+
+
+def dedup_paragraphs_py(texts: dict) -> dict:
+    """Twin of ``dedup.dedup_paragraphs``: id → (new_text, kept, dropped)
+    under the same keeper rule — smallest (md5("<id>:<idx>"), str(id),
+    idx) occurrence of each distinct paragraph survives."""
+    import hashlib
+
+    occs = []  # (okey, id_str, idx, para) per non-empty paragraph
+    per_doc: dict = {i: [] for i in texts}
+    for i, t in texts.items():
+        idx = 0
+        for para in re.split(r"\n\n+", t or ""):
+            if para == "":
+                idx += 1
+                continue
+            okey = hashlib.md5(f"{i}:{idx}".encode()).hexdigest()
+            occs.append((okey, str(i), idx, para))
+            per_doc[i].append((idx, para))
+            idx += 1
+    keep: dict = {}
+    for okey, sid, idx, para in occs:
+        h = hashlib.md5(para.encode()).hexdigest()
+        cand = (okey, sid, idx)
+        if h not in keep or cand < keep[h]:
+            keep[h] = cand
+    out = {}
+    for i, t in texts.items():
+        kept = [
+            (idx, para)
+            for idx, para in per_doc[i]
+            if keep[hashlib.md5(para.encode()).hexdigest()]
+            == (hashlib.md5(f"{i}:{idx}".encode()).hexdigest(), str(i), idx)
+        ]
+        total = len(per_doc[i])
+        out[i] = ("\n\n".join(p for _, p in sorted(kept)), len(kept), total - len(kept))
+    return out

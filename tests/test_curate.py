@@ -226,3 +226,18 @@ def test_repetition_stage_with_url_keys(spark):
     assert kept == ["http://a.example/x"]
     assert res.manifest[0]["rows_out"] == 1
     res.unpersist()
+
+
+def test_paragraph_dedup_stage(spark):
+    shared = "same cookie banner on every page"
+    rows = [(1, f"{shared}\n\nbody one"), (2, f"{shared}\n\nbody two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate.curate(df, paragraph_dedup=True, exact_dedup=False)
+    assert [m["stage"] for m in res.manifest] == ["paragraph_dedup"]
+    # transform-only: both docs survive, exactly one keeps the banner
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert len(out) == 2
+    assert sum(shared in t for t in out.values()) == 1
+    assert "body one" in out[1] and "body two" in out[2]
+    assert "n_paras_kept" not in res.docs.columns
+    res.unpersist()

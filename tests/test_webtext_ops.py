@@ -268,3 +268,88 @@ def test_corpus_report_single_aggregate_plan(spark, docs_df):
     )
     assert plan.count("Scan parquet") <= 1
     assert "Expand" in plan
+
+
+# ------------------------------------------------- paragraph dedup
+
+
+def test_dedup_paragraphs_hand_computed(spark):
+    shared = "this exact cookie banner repeats on every page"
+    rows = [
+        (1, f"unique one\n\n{shared}\n\nunique two"),
+        (2, f"{shared}\n\nother text"),
+        (3, shared),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+    # exactly ONE copy of the shared paragraph survives corpus-wide
+    survivors = sum(shared in out[i]["text"] for i in (1, 2, 3))
+    assert survivors == 1
+    # unique paragraphs always survive, in original order
+    assert "unique one" in out[1]["text"] and "unique two" in out[1]["text"]
+    assert out[1]["text"].index("unique one") < out[1]["text"].index("unique two")
+    assert "other text" in out[2]["text"]
+    assert out[4]["text"] == "" and out[4]["n_paras_kept"] == 0
+    # accounting: kept + dropped = non-empty paragraphs of the doc
+    assert out[1]["n_paras_kept"] + out[1]["n_paras_dropped"] == 3
+    assert out[3]["n_paras_kept"] + out[3]["n_paras_dropped"] == 1
+    total_kept = sum(out[i]["n_paras_kept"] for i in (1, 2, 3, 4))
+    assert total_kept == 4  # 3 unique + 1 shared survivor
+
+
+def test_dedup_paragraphs_matches_twin(spark, docs_df):
+    # build a corpus with real cross-doc paragraph repetition out of the
+    # synth docs: every doc gets a shared header + its own two halves
+    rows = docs_df.limit(40).select("doc_id", "text").collect()
+    crafted = []
+    for r in rows:
+        toks = r["text"].split()
+        half = len(toks) // 2
+        crafted.append(
+            (
+                r["doc_id"],
+                "SHARED HEADER PARAGRAPH\n\n"
+                + " ".join(toks[:half])
+                + "\n\n"
+                + " ".join(toks[half:]),
+            )
+        )
+    df = spark.createDataFrame(crafted, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras_kept"], r["n_paras_dropped"])
+        for r in dedup.dedup_paragraphs(df).collect()
+    }
+    want = textfns.dedup_paragraphs_py({i: t for i, t in crafted})
+    assert len(got) == len(want)
+    for i, (text, kept, dropped) in want.items():
+        assert got[i] == (text, kept, dropped), i
+
+
+def test_dedup_paragraphs_keeper_is_content_independent(spark):
+    # same corpus, different insertion order → same keeper (hash rule,
+    # not partition order)
+    rows = [(1, "dup para"), (2, "dup para")]
+    a = dedup.dedup_paragraphs(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    b = dedup.dedup_paragraphs(
+        spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+    ).collect()
+    keep_a = {r["doc_id"]: r["text"] for r in a}
+    keep_b = {r["doc_id"]: r["text"] for r in b}
+    assert keep_a == keep_b
+    assert sorted(keep_a.values()) == ["", "dup para"]
+
+
+def test_dedup_paragraphs_plan_shape(spark):
+    # keeper selection must be a partial+final aggregate (map-side combine
+    # absorbs hot paragraph hashes), never a per-hash row_number window or
+    # a single-partition exchange (limit() would add one — crafted df)
+    df = spark.createDataFrame(
+        [(i, f"para {i}\n\nshared") for i in range(20)], "doc_id long, text string"
+    )
+    plan = dedup.dedup_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_min" in plan
