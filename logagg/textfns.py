@@ -338,3 +338,31 @@ def dedup_paragraphs_py(texts: dict) -> dict:
         total = len(per_doc[i])
         out[i] = ("\n\n".join(p for _, p in sorted(kept)), len(kept), total - len(kept))
     return out
+
+
+_URL_SPLIT_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+_TRACKING_RE = re.compile(
+    r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)"
+)
+
+
+def canonical_url_py(url: str) -> str:
+    """Twin of ``textstats.canonical_url`` (well-formed urls; junk passes
+    through unchanged on both engines)."""
+    m = _URL_SPLIT_RE.match(url or "")
+    if not m:
+        return url
+    proto = m.group(1).lower()
+    auth = re.sub(r"^www\.", "", m.group(2).lower())
+    if proto == "http":
+        auth = re.sub(r":80$", "", auth)
+    elif proto == "https":
+        auth = re.sub(r":443$", "", auth)
+    path = re.sub(r"/+$", "", m.group(3))
+    params = sorted(
+        p for p in (m.group(4) or "").split("&") if p and not _TRACKING_RE.match(p)
+    )
+    qs = "&".join(params)
+    return f"{proto}://{auth}{path}" + (f"?{qs}" if qs else "")

@@ -466,3 +466,78 @@ def corpus_report(
             F.col(source_col).asc_nulls_first(), F.col("lang_pred").asc_nulls_first()
         )
     )
+
+
+# ------------------------------------------------- URL canonicalization
+
+# tracking parameters stripped from canonical urls (the usual suspects);
+# anchored at param start, matching bare ("utm_x") and valued ("utm_x=1")
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl url — the recrawl/mirror dedup key:
+
+    * scheme and authority lowercased; leading ``www.`` stripped
+    * default ports dropped (``:80`` for http, ``:443`` for https)
+    * fragment dropped; trailing path slashes trimmed
+    * tracking params (:data:`TRACKING_PARAM_RE`) removed, the rest
+      sorted — param order is presentation, not identity
+
+    Unparseable urls come back UNCHANGED (``try_parse_url`` null →
+    coalesce fallback; a crawl always contains junk and the junk still
+    needs a stable key). Pure Catalyst — parse, regexes, higher-order
+    filter/sort — zero Python. Twin: ``textfns.canonical_url_py``
+    (contract pinned for RFC-ish well-formed urls; both engines pass
+    junk through)."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    auth = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("AUTHORITY"))), r"^www\.", ""
+    )
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(F.try_parse_url(url, F.lit("PATH")), "/+$", "")
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    canon = F.concat(
+        proto,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.coalesce(canon, url)
+
+
+def dedup_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Keep ONE page per canonical url (recrawl / mirror / tracking-param
+    dedup). Keeper = the occurrence with the smallest (md5(url), url) —
+    content-independent and reproducible. Returns surviving input rows
+    plus the ``canonical_url`` column.
+
+    Scale shape: exact-duplicate urls collapse in a first hash agg
+    (dropDuplicates on the url — map-side combine), then the keeper per
+    canonical key comes from one partial+final min(struct) aggregate and
+    a left_semi restore — the same skew-proof pattern as
+    ``dedup.dedup_paragraphs`` (a hot canonical key never serializes
+    onto one task)."""
+    uniq = pages.dropDuplicates([url_col])
+    u = F.col(url_col)
+    tagged = uniq.withColumn("canonical_url", canonical_url(u)).withColumn(
+        "_okey", F.md5(u.cast("binary"))
+    )
+    keepers = (
+        tagged.groupBy("canonical_url")
+        .agg(F.min(F.struct("_okey", url_col)).alias("_keep"))
+        .select(F.col("_keep._okey").alias("_okey"), F.col(f"_keep.{url_col}").alias(url_col))
+    )
+    return tagged.join(keepers, ["_okey", url_col], "left_semi").drop("_okey")

@@ -353,3 +353,79 @@ def test_dedup_paragraphs_plan_shape(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "partial_min" in plan
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+CANON_CASES = [
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag", "http://example.com/a/b?a=1&b=2"),
+    ("https://example.com:443/path/", "https://example.com/path"),
+    ("https://www.example.com/", "https://example.com"),
+    ("http://example.com", "http://example.com"),
+    ("https://example.com/?gclid=abc", "https://example.com"),
+    ("https://example.com/x?ref=tw&q=1", "https://example.com/x?q=1"),
+    ("https://example.com/x?refresh=1", "https://example.com/x?refresh=1"),  # not 'ref'
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def test_canonical_url_hand_cases_and_twin(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(textstats.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    for (u, want), g in zip(CANON_CASES, got):
+        assert g == want, u
+        assert textfns.canonical_url_py(u) == want, u
+
+
+def test_canonical_url_matches_twin_on_corpus(spark, urls_df):
+    df, urls = urls_df
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", textstats.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == textfns.canonical_url_py(u), u
+
+
+def test_dedup_urls_keeps_one_per_canonical(spark):
+    rows = [
+        ("https://www.example.com/a?utm_source=x", 1),
+        ("https://example.com/a", 2),
+        ("HTTPS://EXAMPLE.COM/a", 3),
+        ("https://example.com/b", 4),
+        ("https://example.com/b", 5),  # exact duplicate row
+        ("https://other.example/c", 6),
+    ]
+    df = spark.createDataFrame(rows, "url string, n int")
+    got = textstats.dedup_urls(df).collect()
+    canon = {r["canonical_url"] for r in got}
+    assert canon == {
+        "https://example.com/a",
+        "https://example.com/b",
+        "https://other.example/c",
+    }
+    assert len(got) == 3
+    # keeper = smallest (md5(url), url) among the distinct urls per key
+    import hashlib
+
+    grp_a = ["https://www.example.com/a?utm_source=x", "https://example.com/a", "HTTPS://EXAMPLE.COM/a"]
+    want_a = min(grp_a, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+    kept_a = next(r["url"] for r in got if r["canonical_url"] == "https://example.com/a")
+    assert kept_a == want_a
+
+
+def test_dedup_urls_plan_shape(spark):
+    df = spark.createDataFrame(
+        [(f"https://example.com/{i}",) for i in range(20)], "url string"
+    )
+    plan = textstats.dedup_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_min" in plan
