@@ -217,3 +217,70 @@ def expected_mixture_size(docs: DataFrame, weights: dict[str, float], source_col
 def _check_weight(w: float) -> None:
     if not (w >= 0 and math.isfinite(w)):
         raise ValueError(f"mixture weight must be finite and >= 0, got {w}")
+
+
+def write_training_shards(
+    df: DataFrame,
+    outdir: str,
+    *,
+    rows_per_shard: int = 1_000_000,
+    id_col: str = "doc_id",
+    seed: str = "order",
+    epoch_col: str | None = None,
+    key_col: str = "order_key",
+) -> list[dict]:
+    """Write the corpus as pre-shuffled, trainer-ready shards: globally
+    ordered by the :func:`training_order` key, one ``shard=N`` parquet
+    directory per range partition, plus a ``manifest.json`` (per-shard
+    rows and key range) — the layout a data loader streams sequentially
+    with zero shuffling at training time.
+
+    Scale shape: one count (shard sizing), one range shuffle (sampled
+    boundaries → balanced shards, no single-partition funnel), and a
+    write where every task owns exactly one shard directory — the
+    partitionBy adds no shuffle because shard == the task's partition id.
+    Shard row counts are approximately ``rows_per_shard`` (range
+    boundaries come from Spark's reservoir sample; trainers only need
+    determinism and contiguity, both exact: same input → same
+    boundaries → same shards, and shard key-ranges are disjoint and
+    ordered). The manifest is #shards rows — driver-sized by
+    construction. Returns the manifest (also landed next to the data)."""
+    import json as _json
+    import math as _math
+
+    n = df.count()
+    n_shards = max(1, _math.ceil(n / rows_per_shard))
+    ordered = training_order(
+        df,
+        id_col=id_col,
+        seed=seed,
+        epoch_col=epoch_col,
+        key_col=key_col,
+        num_partitions=n_shards,
+    )
+    tagged = ordered.withColumn("shard", F.spark_partition_id())
+    tagged.write.mode("overwrite").partitionBy("shard").parquet(outdir)
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(outdir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = [
+        {
+            "shard": int(r["shard"]),
+            "n_rows": r["n_rows"],
+            "key_min": r["key_min"],
+            "key_max": r["key_max"],
+        }
+        for r in stats
+    ]
+    with open(f"{outdir}/manifest.json".replace("file:", ""), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest

@@ -229,3 +229,44 @@ def test_expected_mixture_size_math(spark, docs):
     val = mix.expected_mixture_size(docs, {"src0": 2.0, "src1": 0.2, "nosuch": 9.9})
     assert val == pytest.approx(25 * 2.0 + 25 * 0.2)
     assert math.isfinite(val)
+
+
+def test_write_training_shards(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = mix.write_training_shards(
+        docs, out, rows_per_shard=15, seed="sh1"
+    )
+    n = docs.count()
+    assert sum(m["n_rows"] for m in manifest) == n
+    assert len(manifest) == -(-n // 15)
+    # shard key ranges are disjoint and ordered — a loader streaming
+    # shard 0, 1, 2... reads the exact global training order
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["key_max"] < b["key_min"]
+        assert b["shard"] == a["shard"] + 1
+    # re-read in shard order reproduces the twin's global order
+    back = []
+    for m in manifest:
+        rows = spark.read.parquet(f"{out}/shard={m['shard']}").collect()
+        part = sorted((r["order_key"], r["doc_id"]) for r in rows)
+        assert len(part) == m["n_rows"]
+        back.extend(part)
+    expected = sorted(
+        (textfns.order_key_py("sh1", 0, r["doc_id"]), r["doc_id"])
+        for r in docs.select("doc_id").collect()
+    )
+    assert back == expected
+    # manifest landed next to the data
+    import json
+
+    with open(f"{out}/manifest.json") as fh:
+        assert json.load(fh) == manifest
+
+
+def test_write_training_shards_deterministic(spark, docs, tmp_path):
+    a = mix.write_training_shards(docs, str(tmp_path / "a"), rows_per_shard=20)
+    b = mix.write_training_shards(
+        docs.repartition(5), str(tmp_path / "b"), rows_per_shard=20
+    )
+    # same corpus, any input partitioning → same shard boundaries
+    assert a == b
