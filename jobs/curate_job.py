@@ -48,6 +48,9 @@ def main() -> None:
                     help="clean-corpus parquet to train the LM on (default: the input docs)")
     ap.add_argument("--lm-top-k", type=int, default=50_000)
     ap.add_argument("--lm-max-bigrams", type=int, default=500_000)
+    ap.add_argument("--quality-model", default=None,
+                    help="MLlib LogisticRegressionModel dir (classify.train_quality_classifier().save)")
+    ap.add_argument("--quality-prob-min", type=float, default=None)
     ap.add_argument("--repetition", action="store_true", help="Gopher default limits")
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true")
@@ -92,6 +95,12 @@ def main() -> None:
                 with open(args.lm_model, "w") as fh:
                     fh.write(ppl_lm.to_json())
 
+    quality_model = None
+    if args.quality_model:
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        quality_model = LogisticRegressionModel.load(args.quality_model)
+
     res = curate.curate(
         docs,
         id_col=args.id_col,
@@ -100,6 +109,8 @@ def main() -> None:
         blocklist=blocklist,
         ppl_lm=ppl_lm,
         ppl_max=args.ppl_max,
+        quality_model=quality_model,
+        quality_prob_min=args.quality_prob_min,
         redact=args.redact,
         paragraph_dedup=args.paragraph_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else None,

@@ -8,6 +8,7 @@ actually runs, built from the repo's individual operators.
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
       → LM perplexity filter     (lm.doc_perplexity, broadcast model, Arrow pass)
+      → classifier filter        (classify.score_quality, map-only MLlib scoring)
       → repetition filter        (textstats.repetition_stats, one Arrow pass)
       → exact dedup              (dedup.exact_dupes, one hash agg)
       → near dedup               (dedup.minhash_lsh_dupes + dup_clusters)
@@ -83,6 +84,8 @@ def curate(
     quality_min: float | None = None,
     ppl_lm=None,
     ppl_max: float | None = None,
+    quality_model=None,
+    quality_prob_min: float | None = None,
     repetition_limits: dict[str, float] | None = None,
     exact_dedup: bool = True,
     near_dedup: bool = False,
@@ -205,6 +208,23 @@ def curate(
             )
 
         step("perplexity_filter", ppl_stage)
+    if quality_model is not None:
+        if quality_prob_min is None:
+            raise ValueError("quality_model requires quality_prob_min")
+        from logagg import classify
+
+        def clf_stage(d: DataFrame) -> DataFrame:
+            # fastText-style trained gate: map-only scoring (broadcast
+            # coefficients), keep-list semi-join on the string-cast id
+            scored = classify.score_quality(
+                d, quality_model, id_col=id_col, text_col=text_col
+            )
+            keep = scored.filter(F.col("quality_prob") >= quality_prob_min).select("id")
+            return d.join(
+                keep, F.col(id_col).cast("string") == keep["id"], "left_semi"
+            )
+
+        step("classifier_filter", clf_stage)
     if repetition_limits is not None:
         limits = repetition_limits
 

@@ -117,3 +117,28 @@ def test_tokens_match_pinned_contract(spark):
     terms = df.select(classify._word_bigram_col(F.col("text")).alias("t")).collect()[0]["t"]
     toks = textfns.tokens(text)
     assert terms[: len(toks)] == toks
+
+
+def test_curate_classifier_stage(spark, docs_df, model):
+    from logagg import curate
+
+    good = docs_df.limit(10).select("doc_id", "text")
+    bad = spark.createDataFrame(
+        [(900 + i, _gibberish(500 + i)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    df = good.unionByName(bad)
+    res = curate.curate(
+        df, quality_model=model, quality_prob_min=0.5, exact_dedup=False
+    )
+    assert [m["stage"] for m in res.manifest] == ["classifier_filter"]
+    ids = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in good.collect()}
+    res.unpersist()
+
+
+def test_curate_classifier_requires_min(spark, docs_df, model):
+    from logagg import curate
+
+    with pytest.raises(ValueError, match="quality_prob_min"):
+        curate.curate(docs_df, quality_model=model)
