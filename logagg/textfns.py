@@ -366,3 +366,86 @@ def canonical_url_py(url: str) -> str:
     )
     qs = "&".join(params)
     return f"{proto}://{auth}{path}" + (f"?{qs}" if qs else "")
+
+
+# block-level tags: opening OR closing one ends the current text block
+_HTML_BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 td th tr table pre blockquote article "
+    "section header footer nav aside main figure form br hr".split()
+)
+_HTML_SKIP_TAGS = frozenset("script style noscript template".split())
+
+
+def extract_blocks_py(html: str) -> list:
+    """Block segmentation of an HTML page via the stdlib tag-soup parser:
+    [(block_text, link_chars)] with block text whitespace-normalized to
+    single-space tokens, entities decoded, script/style subtrees dropped.
+    THE single-source kernel behind ``extract.extract_main_content``."""
+    from html.parser import HTMLParser
+
+    blocks: list = []
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.a_depth = 0
+            self.parts: list = []
+            self.link_chars = 0
+
+        def _flush(self) -> None:
+            text = " ".join(tokens(" ".join(self.parts)))
+            if text:
+                blocks.append((text, self.link_chars))
+            self.parts = []
+            self.link_chars = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _HTML_SKIP_TAGS:
+                self.skip += 1
+            elif tag in _HTML_BLOCK_TAGS:
+                self._flush()
+            elif tag == "a":
+                self.a_depth += 1
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _HTML_BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in _HTML_SKIP_TAGS:
+                self.skip = max(0, self.skip - 1)
+            elif tag in _HTML_BLOCK_TAGS:
+                self._flush()
+            elif tag == "a":
+                self.a_depth = max(0, self.a_depth - 1)
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            self.parts.append(data)
+            if self.a_depth > 0:
+                self.link_chars += len("".join(data.split()))
+
+    p = _P()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return blocks
+
+
+def main_content_py(
+    html: str, min_tokens: int = 8, max_link_density: float = 0.5
+) -> tuple:
+    """(content, n_blocks, n_kept): keep blocks with >= min_tokens tokens
+    whose link density (link chars / non-space block chars) is <=
+    max_link_density; join kept blocks with blank lines."""
+    blocks = extract_blocks_py(html)
+    kept = []
+    for text, link_chars in blocks:
+        toks = tokens(text)
+        dense = len("".join(toks))
+        ld = (link_chars / dense) if dense else 1.0
+        if len(toks) >= min_tokens and ld <= max_link_density:
+            kept.append(text)
+    return "\n\n".join(kept), len(blocks), len(kept)
