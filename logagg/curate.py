@@ -330,3 +330,200 @@ def curate(
         step("pack_sequences", pack_stage)
 
     return CurationResult(docs=cur, manifest=manifest)
+
+
+def curate_pages(
+    pages: DataFrame,
+    *,
+    min_tokens: int = 8,
+    max_link_density: float = 0.5,
+    url_col: str = "url",
+    html_col: str = "html",
+    **curate_kwargs,
+) -> CurationResult:
+    """The full crawl-to-training-text path: main-content extraction over
+    the ``html`` binary column (``extract.extract_main_content``, one
+    map-only Arrow pass) feeding :func:`curate` keyed by url. Pages whose
+    extraction yields no content blocks drop here (nothing to train on);
+    the manifest's first row accounts for them. All downstream curation
+    knobs pass through (the url doubles as id and domain key)."""
+    from logagg import extract
+
+    n_pages = pages.count()
+    docs = (
+        extract.extract_main_content(
+            pages,
+            min_tokens=min_tokens,
+            max_link_density=max_link_density,
+            url_col=url_col,
+            html_col=html_col,
+        )
+        .filter(F.col("content") != "")
+        .select(F.col("url"), F.col("content").alias("text"))
+    )
+    res = curate(docs, id_col="url", text_col="text", url_col="url", **curate_kwargs)
+    first_in = res.manifest[0]["rows_in"] if res.manifest else docs.count()
+    res.manifest.insert(
+        0, {"stage": "extract_content", "rows_in": n_pages, "rows_out": first_in}
+    )
+    return res
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    state_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus: DataFrame | None = None,
+    near_dedup: bool = False,
+    **filter_kwargs,
+) -> CurationResult:
+    """Continuous-ingest curation: run the stateless filter stages on a
+    NEW batch only, then deduplicate it against everything previously
+    accepted via persistent indexes under ``state_dir`` — the steady-state
+    crawl-ingestion shape at 100 TB, where the corpus is never re-read,
+    let alone re-shingled.
+
+    State layout: ``state_dir/md5`` = parquet set of accepted text
+    hashes (exact dedup = one anti-join against it); ``state_dir/minhash``
+    = the frozen-stop-set LSH band index (``dedup.minhash_index_write``).
+    First increment bootstraps both. ``corpus`` (text of previously
+    accepted docs) is required for near-dup verification from the second
+    increment on — it is only touched via a candidate-id semi-join.
+
+    Keeper semantics: first-increment-wins across batches (the already-
+    accepted doc survives; within a batch the min id survives) — matches
+    the batch pipeline whenever earlier batches carry smaller ids.
+    All ``curate`` filter knobs pass through (``exact_dedup``/
+    ``near_dedup`` knobs of the batch pipeline are managed here)."""
+    spark = new_docs.sparkSession
+    res = curate(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        exact_dedup=False,
+        near_dedup=False,
+        **filter_kwargs,
+    )
+    cur = res.docs
+    manifest = res.manifest
+    n_cur = manifest[-1]["rows_out"] if manifest else cur.count()
+
+    def _read_optional(path: str) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force resolution
+            return df
+        except Exception:
+            return None
+
+    # ---- exact dedup: within-batch keeper, then anti-join the md5 index
+    rows_in = n_cur
+    groups = dedup.exact_dupes(cur, id_col=id_col, text_col=text_col)
+    within = (
+        cur.withColumn("_md5", F.md5(F.col(text_col).cast("binary")))
+        .join(groups.select(F.col("text_md5").alias("_md5"), "keeper"), "_md5")
+        .filter(F.col(id_col) == F.col("keeper"))
+        .drop("keeper")
+    )
+    md5_idx = _read_optional(f"{state_dir}/md5")
+    accepted = (
+        within.join(
+            md5_idx, within["_md5"] == md5_idx["text_md5"], "left_anti"
+        )
+        if md5_idx is not None
+        else within
+    )
+    # LINEAGE CUT, not a mere persist: appending this batch's md5s to the
+    # index below makes Spark invalidate every cached plan that READS that
+    # path — a persisted `accepted` would silently recompute against the
+    # updated index and anti-join ITSELF away (observed: second increment
+    # returns 0 rows). localCheckpoint materializes the rows and truncates
+    # the plan, so no later index write can re-derive this frame.
+    accepted = accepted.localCheckpoint()
+    n_acc = accepted.count()
+    manifest.append(
+        {"stage": "exact_dedup_incremental", "rows_in": rows_in, "rows_out": n_acc}
+    )
+    accepted.select(F.col("_md5").alias("text_md5")).distinct().write.mode(
+        "append"
+    ).parquet(f"{state_dir}/md5")
+    out = accepted.drop("_md5")
+
+    # ---- near dedup against the persistent band index
+    if near_dedup:
+        have_index = _read_optional(f"{state_dir}/minhash/bands") is not None
+        if not have_index:
+            # bootstrap: freeze the stop set on the first batch, dedup
+            # within it with the batch operator
+            pairs = dedup.minhash_lsh_dupes(out, id_col=id_col, text_col=text_col)
+            dedup.minhash_index_write(
+                out, f"{state_dir}/minhash", id_col=id_col, text_col=text_col,
+                mode="overwrite",
+            )
+        else:
+            if corpus is None:
+                raise ValueError(
+                    "near_dedup increments need `corpus` (text of accepted docs)"
+                )
+            pairs = dedup.minhash_lsh_dupes_incremental(
+                out,
+                corpus,
+                f"{state_dir}/minhash",
+                id_col=id_col,
+                text_col=text_col,
+                update_index=False,  # survivors are appended below
+            )
+        # Pairwise drop policy (slightly more conservative than the batch
+        # pipeline's connected-components keeper on CHAIN clusters, the
+        # right call incrementally): a new doc drops iff it near-matches
+        # an accepted doc, or it is the native-order-larger side of a
+        # within-batch pair. Native order matters — pair columns are
+        # strings and "34" < "4".
+        new_ids = out.select(F.col(id_col).cast("string").alias("_nid"))
+        p = pairs.select("url_a", "url_b")
+        a_new = p.join(new_ids, p["url_a"] == new_ids["_nid"], "left_semi")
+        b_new = p.join(new_ids, p["url_b"] == new_ids["_nid"], "left_semi")
+        both_new = a_new.intersect(b_new)
+        ids_map = out.select(
+            F.col(id_col).alias("_orig"), F.col(id_col).cast("string").alias("_cid")
+        )
+        bn = (
+            both_new.join(ids_map, both_new["url_a"] == ids_map["_cid"])
+            .select("url_a", "url_b", F.col("_orig").alias("_oa"))
+            .join(ids_map, F.col("url_b") == ids_map["_cid"])
+            .select("url_a", "url_b", "_oa", F.col("_orig").alias("_ob"))
+        )
+        within_losers = bn.select(
+            F.when(F.col("_oa") <= F.col("_ob"), F.col("url_b"))
+            .otherwise(F.col("url_a"))
+            .alias("_loser")
+        )
+        cross_losers = (
+            a_new.exceptAll(both_new).select(F.col("url_a").alias("_loser"))
+            .union(b_new.exceptAll(both_new).select(F.col("url_b").alias("_loser")))
+        )
+        losers = cross_losers.union(within_losers).distinct()
+        survivors = out.join(
+            losers, F.col(id_col).cast("string") == losers["_loser"], "left_anti"
+        ).persist()
+        n_sur = survivors.count()
+        manifest.append(
+            {"stage": "near_dedup_incremental", "rows_in": n_acc, "rows_out": n_sur}
+        )
+        if have_index:
+            dedup.minhash_index_write(
+                survivors, f"{state_dir}/minhash", id_col=id_col,
+                text_col=text_col, mode="append",
+            )
+        else:
+            # bootstrap wrote ALL batch docs' bands; rewrite with survivors
+            dedup.minhash_index_write(
+                survivors, f"{state_dir}/minhash", id_col=id_col,
+                text_col=text_col, mode="overwrite",
+            )
+        accepted.unpersist()
+        out = survivors
+
+    return CurationResult(docs=out, manifest=manifest)

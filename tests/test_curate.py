@@ -241,3 +241,21 @@ def test_paragraph_dedup_stage(spark):
     assert "body one" in out[1] and "body two" in out[2]
     assert "n_paras_kept" not in res.docs.columns
     res.unpersist()
+
+
+def test_curate_pages_end_to_end(spark, pages_cache):
+    pages = spark.read.parquet(f"{pages_cache}/pages.parquet").limit(200)
+    res = curate.curate_pages(pages, quality_min=0.01, exact_dedup=True)
+    stages = [m["stage"] for m in res.manifest]
+    assert stages[0] == "extract_content"
+    assert stages[1:] == ["quality_filter", "exact_dedup"]
+    assert res.manifest[0]["rows_in"] == 200
+    # extraction chains into curation: stage 0 rows_out == stage 1 rows_in
+    assert res.manifest[0]["rows_out"] == res.manifest[1]["rows_in"]
+    assert res.manifest[0]["rows_out"] > 180  # synth pages extract cleanly
+    out = res.docs
+    assert set(out.columns) >= {"url", "text"}
+    # extracted text is whitespace-normalized block content, never html
+    sample = out.select("text").first()["text"]
+    assert "<" not in sample.split()[0]
+    res.unpersist()
