@@ -1,0 +1,368 @@
+"""Crawl-frontier operators: robots.txt exclusion, per-host politeness
+scheduling, and the persistent seen-set — the scheduling half of a web
+crawl, upstream of WARC ingestion (:mod:`logagg.warc`) and curation.
+
+Reference scope note: the reference watches a directory and routes
+archives as they appear (aggregator/logs.py's watch/route step); a webtext
+crawl's equivalent "what do we fetch next" decision is the frontier. These
+operators keep the decision wholly declarative: robots matching is a join
+plus one aggregation (no Python in the per-URL hot path), scheduling is
+one window, and the seen-set is the same persistent-index anti-join shape
+as :func:`logagg.curate.curate_increment`.
+
+robots.txt semantics implemented (RFC 9309, the public REP spec):
+
+* groups = consecutive ``User-agent`` lines followed by rules; rules
+  before any ``User-agent`` line are ignored; ``#`` comments stripped.
+* group selection: the most specific matching agent token wins — a token
+  matches when it is a case-insensitive substring of the crawler's
+  product token; ``*`` matches anything but loses to any specific match;
+  groups tied on specificity merge.
+* rule matching: longest-match wins (match length = octets of the rule
+  pattern); an ``allow``/``disallow`` tie at equal length → allow.
+  ``*`` in a pattern is a wildcard, trailing ``$`` anchors end-of-path;
+  an EMPTY ``Disallow:`` means "allow everything" (rule dropped).
+  No matching rule → allowed (robots is opt-out).
+* ``Crawl-delay`` is parsed per group (non-standard but ubiquitous) and
+  feeds :func:`politeness_schedule`.
+
+The line parser/translator is single-sourced (:func:`parse_robots_py` /
+:func:`pattern_regex`): the Spark kernel and the pure-Python differential
+twin (:func:`robots_allowed_py`) share it, so the *matcher* — Catalyst
+``regexp_like`` + ``max(struct)`` vs a Python loop — is exactly what the
+fuzz test cross-checks.
+
+Scale shapes (the frontier is the big side — billions of URLs; rules are
+#hosts × ~10 rows):
+
+* :func:`robots_filter` — rules-side joined to the frontier on host
+  (broadcast when the rules table fits — the default; flip
+  ``broadcast_rules=False`` for a shuffle hash join on host otherwise),
+  then ONE ``max(struct(specificity, is_allow))`` aggregation per URL.
+  Conditional-max over unmatched rows means no second pass; the verdict
+  join back to the frontier rides the same url key.
+* :func:`politeness_schedule` — one hash partition on host + in-partition
+  rank: per-host fetch slots and earliest-start offsets without any
+  global sort. Skew note: a single giant host serializes its own slot
+  numbering by construction (politeness is per-host sequential anyway —
+  that "skew" is the semantics).
+* :func:`frontier_increment` — canonical-url key, anti-join against the
+  parquet seen index, append-back. ``localCheckpoint`` before the index
+  append (appending to a path INVALIDATES cached plans reading it — the
+  curate_increment lesson).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from logagg import textstats
+
+RULES_SCHEMA = (
+    "host string, agent string, kind string, pattern string, "
+    "spec int, regex string, delay double"
+)
+
+
+# ---------------------------------------------------------------------------
+# shared pure-Python parser (kernel + twin)
+# ---------------------------------------------------------------------------
+
+def pattern_regex(pattern: str) -> str:
+    """Anchored regex for a robots path pattern — ``*`` wildcard, trailing
+    ``$`` end-anchor, everything else literal. ``re.escape`` escapes only
+    non-alphanumerics, which Java's Pattern accepts identically, so the
+    same string drives both engines."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    esc = re.escape(core).replace(r"\*", ".*")
+    return "^" + esc + ("$" if anchored else "")
+
+
+def parse_robots_py(body: str) -> list[dict]:
+    """Parse one robots.txt body into rule rows
+    ``{agent, kind, pattern, spec, regex, delay}`` (one row per rule per
+    user-agent token; ``crawl-delay`` rows carry ``delay`` only)."""
+    rows: list[dict] = []
+    agents: list[str] = []
+    in_group_rules = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:
+                agents = []  # a UA line after rules starts a new group
+                in_group_rules = False
+            if value:
+                agents.append(value.lower())
+            continue
+        if field in ("allow", "disallow"):
+            in_group_rules = True
+            if not agents:
+                continue  # rules before any User-agent line: ignored
+            if not value:
+                continue  # empty Disallow/Allow = no restriction
+            regex = pattern_regex(value)
+            for a in agents:
+                rows.append(
+                    {
+                        "agent": a,
+                        "kind": field,
+                        "pattern": value,
+                        "spec": len(value),
+                        "regex": regex,
+                        "delay": None,
+                    }
+                )
+        elif field == "crawl-delay":
+            in_group_rules = True
+            if not agents:
+                continue
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            for a in agents:
+                rows.append(
+                    {
+                        "agent": a,
+                        "kind": "crawl-delay",
+                        "pattern": "",
+                        "spec": 0,
+                        "regex": None,
+                        "delay": d,
+                    }
+                )
+        # unknown fields (sitemap, host, ...): ignored, do NOT split a group
+    return rows
+
+
+def _select_agent_py(rules: list[dict], crawler: str) -> list[dict]:
+    crawler = crawler.lower()
+
+    def rank(a: str) -> int:
+        if a == "*":
+            return 0
+        return len(a) if a in crawler else -1
+
+    best = max((rank(r["agent"]) for r in rules), default=-1)
+    if best < 0:
+        return []
+    return [r for r in rules if rank(r["agent"]) == best]
+
+
+def robots_allowed_py(body: str, crawler: str, path: str) -> bool:
+    """Differential twin: full REP evaluation of one path against one
+    robots body, as a Python loop over the shared parse."""
+    rules = _select_agent_py(parse_robots_py(body), crawler)
+    best: tuple[int, int] | None = None
+    for r in rules:
+        if r["kind"] not in ("allow", "disallow"):
+            continue
+        if re.match(r["regex"], path):
+            key = (r["spec"], 1 if r["kind"] == "allow" else 0)
+            if best is None or key > best:
+                best = key
+    return best is None or best[1] == 1
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def parse_robots(
+    robots: DataFrame, *, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``(host, body)`` robots.txt fetches → the flat rules table
+    (:data:`RULES_SCHEMA`). One map-only Arrow pass (robots files are one
+    row each — the stateful group parser never crosses rows); the parsed
+    table is agent-agnostic, so one parse serves every crawler identity."""
+    src = robots.select(
+        F.col(host_col).cast("string").alias("host"),
+        F.col(body_col).cast("string").alias(body_col),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in RULES_SCHEMA.split(", ")]
+        for pdf in batches:
+            out: list[dict] = []
+            for host, body in zip(pdf["host"], pdf[body_col]):
+                for r in parse_robots_py(body or ""):
+                    r["host"] = host
+                    out.append(r)
+            res = pd.DataFrame(out, columns=cols)
+            res["spec"] = res["spec"].astype("Int32")
+            yield res
+
+    return src.mapInPandas(kernel, schema=RULES_SCHEMA)
+
+
+def _agent_rules(rules: DataFrame, crawler: str) -> DataFrame:
+    """Rows of the most specific matching agent group per host (ties
+    merge), for one crawler identity."""
+    c = crawler.lower()
+    rank = (
+        F.when(F.col("agent") == "*", 0)
+        .when(F.instr(F.lit(c), F.lower(F.col("agent"))) > 0, F.length("agent"))
+        .otherwise(-1)
+    )
+    ranked = rules.withColumn("_rank", rank).filter(F.col("_rank") >= 0)
+    best = ranked.groupBy("host").agg(F.max("_rank").alias("_best"))
+    return (
+        ranked.join(best, "host")
+        .filter(F.col("_rank") == F.col("_best"))
+        .drop("_rank", "_best")
+    )
+
+
+def _url_path(url_col: Column) -> Column:
+    """Path + query — the octets robots patterns match against. Junk URLs
+    (null parse) fall back to '/' (and typically have no rules anyway)."""
+    path = F.coalesce(F.try_parse_url(url_col, F.lit("PATH")), F.lit("/"))
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.try_parse_url(url_col, F.lit("QUERY"))
+    return F.when(query.isNull(), path).otherwise(F.concat(path, F.lit("?"), query))
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    crawler: str,
+    *,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+    keep_denied: bool = False,
+) -> DataFrame:
+    """Frontier × parsed rules → the fetchable frontier.
+
+    Plan: agent-group selection on the (small) rules side, broadcast join
+    on host, ``regexp_like`` match, ONE ``max(struct(spec, is_allow))``
+    conditional aggregation per URL — longest-match / tie-allow resolved
+    inside the agg, unmatched and rule-less URLs allowed via null. With
+    ``keep_denied`` the verdict column ``robots_allowed`` is kept instead
+    of filtering (audit mode)."""
+    sel = _agent_rules(rules, crawler).filter(
+        F.col("kind").isin("allow", "disallow")
+    )
+    sel = sel.select(
+        "host", "spec", "regex", (F.col("kind") == "allow").cast("int").alias("_allow")
+    )
+    if broadcast_rules:
+        sel = F.broadcast(sel)
+    u = urls.withColumn("_host", F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    joined = u.join(sel, u["_host"] == sel["host"], "left").withColumn(
+        "_m", F.regexp_like(_url_path(F.col(url_col)), F.col("regex"))
+    )
+    verdict = (
+        joined.groupBy(url_col)
+        .agg(
+            F.max(F.when(F.col("_m"), F.struct("spec", "_allow"))).alias("_b")
+        )
+        .select(
+            F.col(url_col),
+            (F.col("_b").isNull() | (F.col("_b._allow") == 1)).alias(
+                "robots_allowed"
+            ),
+        )
+    )
+    out = urls.join(verdict, url_col)
+    if keep_denied:
+        return out
+    return out.filter(F.col("robots_allowed")).drop("robots_allowed")
+
+
+def crawl_delays(rules: DataFrame, crawler: str) -> DataFrame:
+    """Per-host crawl delay for one crawler identity: ``(host, delay)``,
+    max over the selected group's rows (conservative on conflict)."""
+    return (
+        _agent_rules(rules, crawler)
+        .filter(F.col("kind") == "crawl-delay")
+        .groupBy("host")
+        .agg(F.max("delay").alias("delay"))
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    *,
+    url_col: str = "url",
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    priority: Column | None = None,
+) -> DataFrame:
+    """Assign each URL a per-host fetch ``slot`` (1-based) and an earliest
+    start offset ``not_before_s = (slot-1) × host_delay`` — the schedule a
+    polite fetcher executes directly: partition-by-host workers walk slots
+    in order and sleep to the offset.
+
+    One shuffle (hash on host) + an in-partition rank. ``priority``
+    (higher first) orders within a host, tie-broken by a content hash so
+    the schedule is deterministic under any input order."""
+    u = frontier.withColumn(
+        "_hkey",
+        F.coalesce(
+            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("\x00invalid")
+        ),
+    )
+    order = [
+        F.md5(F.col(url_col).cast("string").cast("binary")),
+        F.col(url_col),
+    ]
+    if priority is not None:
+        order.insert(0, priority.desc())
+    w = Window.partitionBy("_hkey").orderBy(*order)
+    u = u.withColumn("slot", F.row_number().over(w))
+    if delays is not None:
+        d = F.broadcast(delays.select(F.col("host").alias("_hkey"), "delay"))
+        u = u.join(d, "_hkey", "left")
+        delay = F.coalesce(F.col("delay"), F.lit(float(default_delay)))
+    else:
+        delay = F.lit(float(default_delay))
+    return (
+        u.withColumn(
+            "not_before_s", ((F.col("slot") - 1) * delay).cast("double")
+        )
+        .withColumnRenamed("_hkey", "host")
+        .drop("delay")
+    )
+
+
+def frontier_increment(
+    new_urls: DataFrame, seen_dir: str, *, url_col: str = "url"
+) -> DataFrame:
+    """Discovered-URL batch → the not-yet-seen subset, updating the
+    persistent seen index: canonicalize (recrawl/mirror key), keep the min
+    URL per canonical within the batch, anti-join the parquet index,
+    append the new keys. First batch bootstraps the index. The returned
+    frame is localCheckpoint-ed — safe to reuse after the append."""
+    spark = new_urls.sparkSession
+    canon = new_urls.withColumn(
+        "_canon", textstats.canonical_url(F.col(url_col))
+    )
+    keeper = canon.groupBy("_canon").agg(F.min(url_col).alias(url_col))
+    fresh = canon.join(keeper, [url_col, "_canon"], "left_semi")
+    try:
+        idx = spark.read.parquet(f"{seen_dir}/urls")
+        idx.schema  # force resolution
+    except Exception:
+        idx = None
+    if idx is not None:
+        fresh = fresh.join(
+            idx, fresh["_canon"] == idx["canon_url"], "left_anti"
+        )
+    # lineage cut BEFORE appending to the index this frame reads
+    fresh = fresh.localCheckpoint()
+    fresh.select(F.col("_canon").alias("canon_url")).write.mode("append").parquet(
+        f"{seen_dir}/urls"
+    )
+    return fresh.drop("_canon")

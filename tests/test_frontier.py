@@ -1,0 +1,250 @@
+"""Frontier operators: RFC 9309 robots semantics (hand-pinned examples +
+differential fuzz vs the Python twin), politeness scheduling, seen-set
+increments, and plan shapes."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from logagg import frontier
+
+BODY_MAIN = """
+# synthetic robots
+User-agent: other-bot
+Disallow: /
+
+User-agent: logagg
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/*.bak$
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /all-denied
+"""
+
+BODY_STAR_ONLY = """
+User-agent: *
+Disallow: /x
+Allow: /x/y
+Crawl-delay: 7
+"""
+
+
+# ---------------------------------------------------------------------------
+# twin semantics (pure Python)
+# ---------------------------------------------------------------------------
+
+def test_twin_group_selection_specific_beats_star():
+    # crawler 'logagg-bot/1.0' matches token 'logagg' → that group, not '*'
+    assert frontier.robots_allowed_py(BODY_MAIN, "logagg-bot/1.0", "/all-denied")
+    assert not frontier.robots_allowed_py(BODY_MAIN, "logagg-bot/1.0", "/private/x")
+    # unknown crawler falls to '*'
+    assert not frontier.robots_allowed_py(BODY_MAIN, "nobody", "/all-denied")
+    assert frontier.robots_allowed_py(BODY_MAIN, "nobody", "/private/x")
+
+
+def test_twin_longest_match_and_tie():
+    assert frontier.robots_allowed_py(BODY_MAIN, "logagg", "/private/ok/file")
+    assert not frontier.robots_allowed_py(BODY_MAIN, "logagg", "/private/no")
+    # equal-length allow/disallow tie → allow
+    body = "User-agent: *\nDisallow: /ab\nAllow: /ab"
+    assert frontier.robots_allowed_py(body, "x", "/ab/z")
+
+
+def test_twin_wildcard_and_anchor():
+    assert not frontier.robots_allowed_py(BODY_MAIN, "logagg", "/tmp/a.bak")
+    assert frontier.robots_allowed_py(BODY_MAIN, "logagg", "/tmp/a.bak.txt")
+    assert frontier.robots_allowed_py(BODY_MAIN, "logagg", "/tmp/a.txt")
+
+
+def test_twin_empty_disallow_and_headerless_rules():
+    assert frontier.robots_allowed_py("User-agent: *\nDisallow:", "x", "/any")
+    # rules before any User-agent line are ignored
+    assert frontier.robots_allowed_py("Disallow: /\nUser-agent: *\nAllow: /", "x", "/p")
+
+
+def test_twin_multi_agent_group_and_regroup():
+    body = (
+        "User-agent: a\nUser-agent: b\nDisallow: /g\n"
+        "User-agent: c\nDisallow: /h\n"
+    )
+    assert not frontier.robots_allowed_py(body, "a", "/g/1")
+    assert not frontier.robots_allowed_py(body, "b", "/g/1")
+    assert frontier.robots_allowed_py(body, "b", "/h/1")  # /h is c's group
+    assert not frontier.robots_allowed_py(body, "c", "/h/1")
+    assert frontier.robots_allowed_py(body, "c", "/g/1")
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [("h1.example.com", BODY_MAIN), ("h2.example.com", BODY_STAR_ONLY)],
+        "host string, body string",
+    )
+    return frontier.parse_robots(robots).cache()
+
+
+def test_parse_robots_rows(rules):
+    pdf = rules.toPandas()
+    star_h1 = pdf[(pdf["host"] == "h1.example.com") & (pdf["agent"] == "*")]
+    assert list(star_h1["pattern"]) == ["/all-denied"]
+    logagg_rows = pdf[(pdf["host"] == "h1.example.com") & (pdf["agent"] == "logagg")]
+    assert set(logagg_rows["kind"]) == {"allow", "disallow", "crawl-delay"}
+    delay = logagg_rows[logagg_rows["kind"] == "crawl-delay"]["delay"]
+    assert list(delay) == [2.5]
+
+
+def test_robots_filter_matches_twin_on_urls(spark, rules):
+    urls = [
+        f"http://{h}{p}"
+        for h in ("h1.example.com", "h2.example.com", "h3.norobots.com")
+        for p in (
+            "/", "/private", "/private/ok", "/private/ok/deep", "/privateer",
+            "/tmp/a.bak", "/tmp/a.bak.gz", "/all-denied/x", "/x/y/z", "/x/q",
+            "/a?b=1",
+        )
+    ]
+    crawler = "logagg-bot/2.0"
+    got = frontier.robots_filter(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        rules,
+        crawler,
+        keep_denied=True,
+    ).toPandas()
+    bodies = {"h1.example.com": BODY_MAIN, "h2.example.com": BODY_STAR_ONLY}
+    assert len(got) == len(urls)
+    for u, allowed in zip(got["url"], got["robots_allowed"]):
+        host = u.split("/")[2]
+        path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+        want = (
+            frontier.robots_allowed_py(bodies[host], crawler, path)
+            if host in bodies
+            else True
+        )
+        assert allowed == want, (u, allowed, want)
+
+
+def test_robots_filter_drops_denied(spark, rules):
+    urls = spark.createDataFrame(
+        [("http://h1.example.com/private/x",), ("http://h1.example.com/ok",)],
+        "url string",
+    )
+    kept = frontier.robots_filter(urls, rules, "logagg").toPandas()
+    assert list(kept["url"]) == ["http://h1.example.com/ok"]
+    assert "robots_allowed" not in kept.columns
+
+
+ROBOTS_LINES = st.lists(
+    st.sampled_from(
+        [
+            "User-agent: *",
+            "User-agent: logagg",
+            "User-agent: zeta-crawler",
+            "Disallow: /a",
+            "Disallow: /a/b",
+            "Disallow: /a*c",
+            "Disallow: /b$",
+            "Allow: /a/b/c",
+            "Allow: /a",
+            "Allow: /b",
+            "Disallow:",
+            "Crawl-delay: 3",
+            "# comment",
+            "Sitemap: http://x/s.xml",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+)
+PATHS = st.sampled_from(["/", "/a", "/a/b", "/a/b/c", "/abc", "/axc", "/b", "/b/c"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(lines=ROBOTS_LINES, paths=st.lists(PATHS, min_size=1, max_size=4, unique=True))
+def test_fuzz_spark_verdicts_equal_twin(spark, lines, paths):
+    body = "\n".join(lines)
+    crawler = "logagg-bot/1.0"
+    rules = frontier.parse_robots(
+        spark.createDataFrame([("h.example.com", body)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [(f"http://h.example.com{p}",) for p in paths], "url string"
+    )
+    got = frontier.robots_filter(urls, rules, crawler, keep_denied=True).toPandas()
+    for u, allowed in zip(got["url"], got["robots_allowed"]):
+        p = "/" + u.split("/", 3)[3]
+        assert allowed == frontier.robots_allowed_py(body, crawler, p), (body, p)
+
+
+def test_politeness_schedule(spark, rules):
+    urls = [
+        (f"http://h1.example.com/p{i}",) for i in range(6)
+    ] + [(f"http://h2.example.com/q{i}",) for i in range(3)]
+    sched = frontier.politeness_schedule(
+        spark.createDataFrame(urls, "url string"),
+        delays=frontier.crawl_delays(rules, "logagg-bot"),
+        default_delay=1.0,
+    ).toPandas()
+    h1 = sched[sched["host"] == "h1.example.com"].sort_values("slot")
+    h2 = sched[sched["host"] == "h2.example.com"].sort_values("slot")
+    assert list(h1["slot"]) == [1, 2, 3, 4, 5, 6]
+    # h1 delay = 2.5 from the logagg group
+    assert list(h1["not_before_s"]) == [0.0, 2.5, 5.0, 7.5, 10.0, 12.5]
+    # h2: crawler 'logagg-bot' has no specific group → '*' delay 7
+    assert list(h2["not_before_s"]) == [0.0, 7.0, 14.0]
+
+
+def test_politeness_deterministic_under_shuffle(spark):
+    urls = [(f"http://h.example.com/p{i}",) for i in range(20)]
+    a = frontier.politeness_schedule(
+        spark.createDataFrame(urls, "url string").repartition(7)
+    ).toPandas()
+    b = frontier.politeness_schedule(
+        spark.createDataFrame(list(reversed(urls)), "url string")
+    ).toPandas()
+    assert dict(zip(a["url"], a["slot"])) == dict(zip(b["url"], b["slot"]))
+
+
+def test_politeness_single_exchange(spark):
+    urls = spark.createDataFrame(
+        [("http://h.example.com/p",)], "url string"
+    )
+    plan = (
+        frontier.politeness_schedule(urls)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_frontier_increment(spark, tmp_path):
+    seen = str(tmp_path / "seen")
+    b1 = spark.createDataFrame(
+        [
+            ("http://A.example.com/p?utm_source=x",),
+            ("http://a.example.com/p",),  # same canonical → one kept
+            ("http://a.example.com/q",),
+        ],
+        "url string",
+    )
+    got1 = frontier.frontier_increment(b1, seen).toPandas()
+    assert len(got1) == 2
+    b2 = spark.createDataFrame(
+        [
+            ("http://a.example.com/p#frag",),  # seen in batch 1
+            ("http://a.example.com/r",),  # new
+        ],
+        "url string",
+    )
+    got2 = frontier.frontier_increment(b2, seen).toPandas()
+    assert list(got2["url"]) == ["http://a.example.com/r"]
+    # third increment with nothing new
+    got3 = frontier.frontier_increment(b2, seen).toPandas()
+    assert len(got3) == 0
