@@ -212,6 +212,47 @@ def write_warc_dir(
     return paths
 
 
+WARC_CACHE_VERSION = 1
+
+
+def ensure_warc_cache(sf_dir: str, *, records_per_file: int = 2000) -> Path:
+    """Materialize (once) a ``.warc.gz`` corpus for the scale tag of
+    ``sf_dir``, built from the deterministic pages cache — the ingest-side
+    bench/test input. Byte-stable (pinned gzip mtime), versioned beside the
+    pages cache under ``.cache/warc/<sf>/``."""
+    import json
+
+    from logagg import synth
+
+    pages_dir = synth.ensure_cache(sf_dir, expected=False)
+    out = synth.CACHE_ROOT.parent / "warc" / Path(sf_dir.rstrip("/")).name
+    meta_path = out / "_meta.json"
+    want = {
+        "version": WARC_CACHE_VERSION,
+        "pages_version": synth.GEN_VERSION,
+        "records_per_file": records_per_file,
+    }
+    if meta_path.exists() and json.loads(meta_path.read_text()) == want:
+        return out
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(
+        pages_dir / "pages.parquet", columns=["url", "warc_ts", "html"]
+    ).to_pandas()
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    if out.exists():
+        for p in out.glob("part-*.warc.gz"):
+            p.unlink()
+    write_warc_dir(
+        pages_to_warc_records(pdf),
+        out,
+        records_per_file=records_per_file,
+        with_requests=True,
+    )
+    meta_path.write_text(json.dumps(want))
+    return out
+
+
 def pages_to_warc_records(pdf: pd.DataFrame) -> list[dict]:
     """Adapt a pandas slice of the pages table (url, warc_ts, html) to the
     writer's record dicts."""
@@ -399,6 +440,37 @@ def read_warc(
     files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz").select(
         "path", "content"
     )
+    return files.mapInPandas(
+        _warc_kernel(record_types, emit_summary), schema=WARC_SCHEMA
+    )
+
+
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] | None = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest variant: the same parse kernel over a
+    ``binaryFile`` FILE STREAM source — new ``.warc.gz`` files landing in
+    ``path`` (a live crawl's output directory) are parsed exactly once per
+    file, with the stream checkpoint carrying which files are done. Batch
+    and stream share :func:`_warc_kernel`, so row-level results are
+    identical by construction (pinned in tests)."""
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(f"{path}/*.warc.gz").select("path", "content")
+    return files.mapInPandas(_warc_kernel(record_types, False), schema=WARC_SCHEMA)
+
+
+def _warc_kernel(record_types: tuple[str, ...] | None, emit_summary: bool):
     keep = set(record_types) if record_types is not None else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -432,7 +504,7 @@ def read_warc(
             res["n_bad"] = res["n_bad"].astype("Int32")
             yield res
 
-    return files.mapInPandas(kernel, schema=WARC_SCHEMA)
+    return kernel
 
 
 def warc_to_pages(records: DataFrame) -> DataFrame:

@@ -224,3 +224,45 @@ def test_fuzz_gzipped_garbage_never_raises(junk, cut):
     data = warc._gzip_member(junk)
     rows, n_bad = warc.parse_warc_file(data[: max(1, len(data) - cut % len(data))], "f")
     assert isinstance(rows, list)
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest
+# ---------------------------------------------------------------------------
+
+def test_stream_equals_batch_and_exactly_once_per_file(
+    spark, pages_pdf, tmp_path_factory
+):
+    d = tmp_path_factory.mktemp("warcstream")
+    ckpt = str(d / "_ckpt")
+    recs = warc.pages_to_warc_records(pages_pdf)
+    warc.write_warc_dir(recs[:30], d, records_per_file=15)
+
+    out = str(d / "_out")
+
+    def drain():
+        q = (
+            warc.read_warc_stream(spark, str(d))
+            .select("url", "record_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(out).toPandas()
+    batch1 = warc.read_warc(spark, str(d)).select("url", "record_id").toPandas()
+    assert sorted(got1["record_id"]) == sorted(batch1["record_id"])
+
+    # a new file lands; restart the stream: ONLY its records are appended
+    (d / "part-99999.warc.gz").write_bytes(warc.build_warc_gz(
+        warc.pages_to_warc_records(pages_pdf)[30:40]
+    ))
+    drain()
+    got2 = spark.read.parquet(out).toPandas()
+    batch2 = warc.read_warc(spark, str(d)).select("url", "record_id").toPandas()
+    assert sorted(got2["record_id"]) == sorted(batch2["record_id"])
+    assert len(got2) == len(got1) + 10
