@@ -337,6 +337,84 @@ def politeness_schedule(
     )
 
 
+SITEMAP_SCHEMA = (
+    "sitemap_url string, kind string, loc string, lastmod string, "
+    "priority double"
+)
+
+
+def parse_sitemap_py(body: str) -> list[dict]:
+    """Parse one sitemap XML body (``urlset`` or ``sitemapindex``) into
+    ``{kind: 'url'|'sitemap', loc, lastmod, priority}`` rows.
+    Namespace-agnostic (matches on local names — real sitemaps mix default
+    and prefixed namespaces); malformed XML falls back to a bare ``<loc>``
+    regex so a truncated sitemap still yields its complete entries."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    rows: list[dict] = []
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        for m in re.finditer(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", body):
+            rows.append(
+                {"kind": "url", "loc": m.group(1), "lastmod": None, "priority": None}
+            )
+        return rows
+    kind = "sitemap" if local(root.tag) == "sitemapindex" else "url"
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        loc = lastmod = None
+        priority = None
+        for child in entry:
+            name = local(child.tag)
+            text = (child.text or "").strip()
+            if name == "loc":
+                loc = text
+            elif name == "lastmod":
+                lastmod = text
+            elif name == "priority":
+                try:
+                    priority = float(text)
+                except ValueError:
+                    priority = None
+        if loc:
+            rows.append(
+                {"kind": kind, "loc": loc, "lastmod": lastmod, "priority": priority}
+            )
+    return rows
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, *, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """``(sitemap_url, body)`` fetched sitemaps → flat entry table
+    (:data:`SITEMAP_SCHEMA`): ``kind='url'`` rows are frontier candidates
+    (feed :func:`frontier_increment`); ``kind='sitemap'`` rows are nested
+    index entries — the fetch-then-reparse loop over them is the caller's
+    (each level is one more pass of this operator; real indexes are ≤ 2
+    deep). One map-only Arrow pass, one row per sitemap file."""
+    src = sitemaps.select(
+        F.col(url_col).cast("string").alias("sitemap_url"),
+        F.col(body_col).cast("string").alias(body_col),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in SITEMAP_SCHEMA.split(", ")]
+        for pdf in batches:
+            out: list[dict] = []
+            for su, body in zip(pdf["sitemap_url"], pdf[body_col]):
+                for r in parse_sitemap_py(body or ""):
+                    r["sitemap_url"] = su
+                    out.append(r)
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(kernel, schema=SITEMAP_SCHEMA)
+
+
 def frontier_increment(
     new_urls: DataFrame, seen_dir: str, *, url_col: str = "url"
 ) -> DataFrame:

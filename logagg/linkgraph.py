@@ -1,0 +1,357 @@
+"""Web link graph: href extraction from crawled HTML, host-graph rollup,
+and distributed PageRank — the host-authority quality signal web-corpus
+curation ranks domains by (the public Common Crawl host ranks are exactly
+this computation at 100 TB).
+
+Reference scope note: the reference's graph-free pipeline ends at per-log
+aggregates (aggregator/logs.py); the webtext corpus those pages form IS a
+graph, and domain authority is a first-class curation feature. Three
+operators:
+
+* :func:`extract_links` — one map-only Arrow pass over ``(url, html)``:
+  stdlib tag-soup parser collects ``<a href>``, resolves each against the
+  page URL (RFC 3986 join), drops fragments and non-http(s) schemes.
+  Kernel single-sourced in :func:`extract_links_py`.
+* :func:`host_graph` — ``(src_host, dst_host, n_links)`` edge rollup: one
+  partial+final hash aggregation, self-loops dropped (intra-host nav bars
+  would otherwise dominate every host's rank).
+* :func:`pagerank` — power iteration with the standard damping + uniform
+  teleport + dangling-mass redistribution (Page et al. 1999, public).
+  Each iteration: contributions = edges ⋈ ranks on ``src`` → ONE
+  ``sum`` aggregation on ``dst``. Edges are hash-partitioned on ``src``
+  once and persisted, so every iteration's join reuses that layout and
+  only the (#nodes-sized) rank table shuffles. Lineage is cut every
+  iteration (parquet checkpoint on a cluster, ``localCheckpoint``
+  locally — the dup_clusters contract, including the non-local-master
+  guard), so 50 iterations never build a 50-deep plan. Convergence =
+  L1 delta below ``tol`` (one scalar per iteration off an aggregate —
+  the only driver traffic); a non-converged run RAISES rather than
+  returning silently-wrong ranks.
+
+Determinism note: float sums depend on reduction order, so ranks are
+reproducible only to ~1e-12 relative across partitionings — the twin
+check (dense numpy power iteration, same damping/dangling math) asserts
+agreement to 1e-9, not bit equality. Content-hash tie-breaks are not
+needed: rank VALUES, not orderings, are the output.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logagg import util
+
+LINKS_SCHEMA = "url string, dst_url string, anchor string"
+
+
+# ---------------------------------------------------------------------------
+# link extraction
+# ---------------------------------------------------------------------------
+
+def extract_links_py(url: str, html: bytes | str) -> list[dict]:
+    """All resolved outlinks of one page: ``{dst_url, anchor}`` rows.
+    http(s) only, fragment stripped, anchor text whitespace-collapsed and
+    capped (anchors are a relevance signal, not a text corpus)."""
+    from html.parser import HTMLParser
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+
+    links: list[dict] = []
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.href: str | None = None
+            self.anchor: list[str] = []
+
+        def _flush(self) -> None:
+            if self.href is None:
+                return
+            try:
+                dst = urljoin(url, self.href)
+            except ValueError:
+                dst = None
+            if dst:
+                dst = dst.split("#", 1)[0]
+                if dst.startswith(("http://", "https://")):
+                    links.append(
+                        {
+                            "dst_url": dst,
+                            "anchor": re.sub(r"\s+", " ", " ".join(self.anchor)).strip()[
+                                :200
+                            ],
+                        }
+                    )
+            self.href = None
+            self.anchor = []
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag == "a":
+                self._flush()  # tag-soup: unclosed <a> flushed by the next
+                for k, v in attrs:
+                    if k == "href" and v:
+                        self.href = v.strip()
+                        break
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag == "a":
+                self._flush()
+
+        def handle_data(self, data: str) -> None:
+            if self.href is not None and data:
+                self.anchor.append(data)
+
+    p = _P()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # tag-soup beyond the parser: keep what was collected
+    p._flush()
+    return links
+
+
+def extract_links(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, html)`` → ``(url, dst_url, anchor)`` outlink table. One
+    Arrow pass, zero shuffles (plan-pinned in tests)."""
+    src = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("_h"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for u, h in zip(pdf["url"], pdf["_h"]):
+                for r in extract_links_py(u, h):
+                    r["url"] = u
+                    out.append(r)
+            yield pd.DataFrame(out, columns=["url", "dst_url", "anchor"])
+
+    return src.mapInPandas(kernel, schema=LINKS_SCHEMA)
+
+
+def host_graph(links: DataFrame, *, keep_self_loops: bool = False) -> DataFrame:
+    """Outlink table → weighted host edge list ``(src, dst, n_links)``.
+    One hash aggregation; junk/unparseable hosts drop (no vertex to credit)."""
+    e = links.select(
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("src"),
+        F.lower(F.try_parse_url("dst_url", F.lit("HOST"))).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not keep_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("n_links"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float = 1e-6,
+    weighted: bool = False,
+    checkpoint_every: int = 5,
+    partitions: int | None = None,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over ``(src, dst[, n_links])`` →
+    ``(node, rank)`` summing to 1.
+
+    ``weighted=True`` splits a page's vote by edge weight (``n_links``)
+    instead of uniformly across distinct out-neighbors. Dangling nodes
+    (no out-edges) spread their mass uniformly — the standard stochastic
+    completion, matched exactly by the numpy twin in tests.
+
+    Iteration shape (the plan that survives 100×): edges repartitioned on
+    ``src`` ONCE and persisted; per iteration one join on ``src`` (rank
+    table is #nodes-sized — tiny next to edges), one ``sum`` agg on
+    ``dst``, two scalar aggregates (dangling mass, L1 delta). Lineage cut
+    every ``checkpoint_every`` iterations via the dup_clusters checkpoint
+    contract: a configured ``sparkContext`` checkpoint dir (executor-
+    reachable by contract) gets a fresh subdir, left in place; otherwise a
+    driver-local temp dir — allowed only on a local master, refused
+    elsewhere — removed on return after the (#hosts-sized, bounded)
+    result is materialized. ``materialize="path"`` + ``out_path`` lands
+    the ranks in parquet instead — the 100 TB result shape (a page-level
+    graph's rank table is corpus-sized; it never visits the driver)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = edges.sparkSession
+    if materialize not in ("local", "path"):
+        raise ValueError(f"materialize must be 'local' or 'path', got {materialize!r}")
+    if materialize == "path" and not out_path:
+        raise ValueError("materialize='path' requires out_path")
+    sc_ckpt = spark.sparkContext.getCheckpointDir()
+    if sc_ckpt:
+        base = f"{sc_ckpt.rstrip('/')}/logagg-pr-{uuid.uuid4().hex[:8]}"
+        owns_tmp = False
+    elif spark.conf.get("spark.master", "").startswith("local"):
+        base = tempfile.mkdtemp(prefix="logagg-pr-")
+        owns_tmp = True
+    else:
+        raise ValueError(
+            "pagerank needs spark.sparkContext.setCheckpointDir (executor-"
+            "reachable storage) on a non-local master — the default "
+            "checkpoint location is a driver-local temp dir"
+        )
+
+    n_cuts = [0]
+
+    def cut(df: DataFrame) -> DataFrame:
+        # unique dir per cut, nothing reused or deleted mid-run: an evicted
+        # persisted intermediate may recompute from lineage that reads ANY
+        # earlier cut, so overwriting one is silent corruption
+        path = f"{base}/iter_{n_cuts[0]}"
+        n_cuts[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    w = F.col("n_links").cast("double") if weighted else F.lit(1.0)
+    e = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        w.alias("w"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if partitions:
+        e = e.repartition(partitions, "src")
+    else:
+        e = e.repartition("src")
+    # per-src normalized vote share: w / total outgoing weight
+    out_w = e.groupBy("src").agg(F.sum("w").alias("_ow"))
+    e = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("_ow")).alias("share")
+    )
+    e = e.persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "node string, rank double")
+    src_nodes = e.select(F.col("src").alias("_src_node")).distinct()
+
+    ranks = cut(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    # initial dangling mass (one scalar job; subsequent iterations fold it
+    # into the delta aggregate — ONE driver round-trip per iteration)
+    dangling = (
+        ranks.join(src_nodes, ranks["node"] == src_nodes["_src_node"], "left_anti")
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+        or 0.0
+    )
+    converged = False
+    for it in range(max_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", (F.col("share") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_ranks = cut(new_ranks)
+        else:
+            new_ranks = new_ranks.persist()
+        # one aggregate drives BOTH the stop rule (L1 delta vs old ranks)
+        # and the NEXT round's dangling mass (rank parked on non-src nodes);
+        # it is also the job that populates new_ranks' cache
+        row = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
+            .join(src_nodes, F.col("node") == src_nodes["_src_node"], "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                F.sum(F.when(src_nodes["_src_node"].isNull(), F.col("rank"))).alias(
+                    "dang"
+                ),
+            )
+            .collect()[0]
+        )
+        delta = row["delta"]
+        dangling = row["dang"] or 0.0
+        ranks.unpersist()
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            converged = True
+            break
+    e.unpersist()
+    nodes.unpersist()
+    try:
+        if not converged:
+            raise RuntimeError(
+                f"pagerank did not converge in {max_iter} iterations "
+                f"(last L1 delta {delta:.3e} ≥ tol {tol:.1e}); raise max_iter "
+                "or loosen tol"
+            )
+        if materialize == "path":
+            return util.materialize(ranks, mode="path", path=out_path)
+        return util.materialize_local(ranks)
+    finally:
+        ranks.unpersist()
+        if owns_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def pagerank_py(
+    edges: list[tuple[str, str, float]],
+    *,
+    damping: float = 0.85,
+    max_iter: int = 200,
+    tol: float = 1e-12,
+    weighted: bool = False,
+) -> dict[str, float]:
+    """Dense numpy twin — same damping/teleport/dangling math, driver-side,
+    for differential tests on small graphs."""
+    import numpy as np
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    M = np.zeros((n, n))
+    out_w = np.zeros(n)
+    for s, d, w in edges:
+        ww = w if weighted else 1.0
+        M[idx[d], idx[s]] += ww
+        out_w[idx[s]] += ww
+    nz = out_w > 0
+    M[:, nz] /= out_w[nz]
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = r[~nz].sum()
+        new = (1 - damping) / n + damping * (M @ r + dangling / n)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in nodes}

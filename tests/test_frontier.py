@@ -248,3 +248,60 @@ def test_frontier_increment(spark, tmp_path):
     # third increment with nothing new
     got3 = frontier.frontier_increment(b2, seen).toPandas()
     assert len(got3) == 0
+
+
+# ---------------------------------------------------------------------------
+# sitemaps
+# ---------------------------------------------------------------------------
+
+SITEMAP_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://h.example.com/a</loc><lastmod>2022-07-01</lastmod><priority>0.8</priority></url>
+  <url><loc> http://h.example.com/b </loc></url>
+  <url><lastmod>2022-07-02</lastmod></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://h.example.com/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>http://h.example.com/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_py_urlset_and_index():
+    rows = frontier.parse_sitemap_py(SITEMAP_URLSET)
+    assert [(r["kind"], r["loc"]) for r in rows] == [
+        ("url", "http://h.example.com/a"),
+        ("url", "http://h.example.com/b"),  # whitespace stripped, locless row dropped
+    ]
+    assert rows[0]["lastmod"] == "2022-07-01" and rows[0]["priority"] == 0.8
+    idx = frontier.parse_sitemap_py(SITEMAP_INDEX)
+    assert {r["kind"] for r in idx} == {"sitemap"}
+    assert len(idx) == 2
+
+
+def test_parse_sitemap_py_malformed_falls_back():
+    truncated = SITEMAP_URLSET[: SITEMAP_URLSET.index("</urlset>")]  # no close tag
+    rows = frontier.parse_sitemap_py(truncated)
+    assert [r["loc"] for r in rows] == [
+        "http://h.example.com/a",
+        "http://h.example.com/b",
+    ]
+
+
+def test_sitemap_to_frontier_chain(spark, rules, tmp_path):
+    """sitemap → increment → robots → politeness, end to end."""
+    sm = spark.createDataFrame(
+        [("http://h1.example.com/sitemap.xml",
+          SITEMAP_URLSET.replace("h.example.com", "h1.example.com")
+          .replace("/a<", "/private/x<").replace("/b ", "/ok "))],
+        "sitemap_url string, body string",
+    )
+    entries = frontier.parse_sitemaps(sm)
+    urls = entries.filter(F.col("kind") == "url").select(F.col("loc").alias("url"))
+    fresh = frontier.frontier_increment(urls, str(tmp_path / "seen"))
+    fetchable = frontier.robots_filter(fresh, rules, "logagg")
+    sched = frontier.politeness_schedule(fetchable).toPandas()
+    # /private/x denied for logagg by h1's rules; /ok survives
+    assert list(sched["url"]) == ["http://h1.example.com/ok"]
+    assert list(sched["slot"]) == [1]

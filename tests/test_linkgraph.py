@@ -1,0 +1,176 @@
+"""Link graph: href extraction semantics, host rollup, and PageRank vs the
+dense numpy twin (incl. dangling mass, weights, convergence raise)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logagg import linkgraph
+
+
+# ---------------------------------------------------------------------------
+# extraction kernel
+# ---------------------------------------------------------------------------
+
+def test_extract_links_py_resolution_and_filters():
+    html = b"""<html><body>
+      <a href="/rel/path">Rel</a>
+      <a href="other.html">Sibling</a>
+      <a href="http://b.example.org/abs#frag">Abs <b>bold</b> text</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="//cdn.example.net/x">proto-relative</a>
+      <a name="anchor-only">no href</a>
+    </body></html>"""
+    links = linkgraph.extract_links_py("http://a.example.com/dir/page.html", html)
+    got = {l["dst_url"]: l["anchor"] for l in links}
+    assert got == {
+        "http://a.example.com/rel/path": "Rel",
+        "http://a.example.com/dir/other.html": "Sibling",
+        "http://b.example.org/abs": "Abs bold text",
+        "http://cdn.example.net/x": "proto-relative",
+    }
+
+
+def test_extract_links_py_tag_soup():
+    # unclosed <a>, nested junk, truncated tail
+    html = "<a href='/one'>first <a href='/two'>second</a> trailing <a href='/three'>last"
+    links = linkgraph.extract_links_py("http://h.example.com/", html)
+    assert [l["dst_url"] for l in links] == [
+        "http://h.example.com/one",
+        "http://h.example.com/two",
+        "http://h.example.com/three",
+    ]
+
+
+def test_extract_links_spark_matches_kernel_and_plan(spark, pages_cache):
+    pages = spark.read.parquet(f"{pages_cache}/pages.parquet")
+    plan = (
+        linkgraph.extract_links(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # map-only (limit() would add one — n/a here)
+    sample = pages.filter(F.crc32(F.col("url").cast("binary")) % 16 == 0)
+    got = linkgraph.extract_links(sample).toPandas()
+    pdf = sample.toPandas()
+    want = []
+    for u, h in zip(pdf["url"], pdf["html"]):
+        for r in linkgraph.extract_links_py(u, h):
+            want.append((u, r["dst_url"], r["anchor"]))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# host graph + pagerank
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def toy_edges(spark):
+    # a.com -> b.com twice, a -> c, b -> c, c -> a ; d.com dangling target
+    rows = [
+        ("http://a.com/1", "http://b.com/x"),
+        ("http://a.com/2", "http://b.com/y"),
+        ("http://a.com/1", "http://c.com/"),
+        ("http://a.com/1", "http://a.com/self"),  # self-loop, dropped
+        ("http://b.com/x", "http://c.com/z"),
+        ("http://c.com/", "http://a.com/1"),
+        ("http://c.com/", "http://d.com/end"),  # d has no out-edges
+    ]
+    links = spark.createDataFrame(
+        [(s, d, "") for s, d in rows], "url string, dst_url string, anchor string"
+    )
+    return linkgraph.host_graph(links)
+
+
+def test_host_graph_rollup(toy_edges):
+    got = {(r["src"], r["dst"]): r["n_links"] for r in toy_edges.collect()}
+    assert got == {
+        ("a.com", "b.com"): 2,
+        ("a.com", "c.com"): 1,
+        ("b.com", "c.com"): 1,
+        ("c.com", "a.com"): 1,
+        ("c.com", "d.com"): 1,
+    }
+
+
+def _edge_tuples(edges_df):
+    return [(r["src"], r["dst"], float(r["n_links"])) for r in edges_df.collect()]
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_pagerank_matches_numpy_twin(spark, toy_edges, weighted):
+    ranks = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            toy_edges, tol=1e-10, max_iter=200, weighted=weighted
+        ).collect()
+    }
+    want = linkgraph.pagerank_py(_edge_tuples(toy_edges), weighted=weighted)
+    assert set(ranks) == set(want)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for node in want:
+        assert ranks[node] == pytest.approx(want[node], abs=1e-8), node
+    # sanity: c has the most in-mass in the unweighted toy graph
+    if not weighted:
+        assert max(ranks, key=ranks.get) == "c.com"
+
+
+def test_pagerank_dangling_only_graph(spark):
+    # one edge a->b; b dangling. Closed-form stationary point exists.
+    e = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, n_links long"
+    )
+    ranks = {r["node"]: r["rank"] for r in linkgraph.pagerank(e, tol=1e-12).collect()}
+    want = linkgraph.pagerank_py([("a", "b", 1.0)])
+    for n in want:
+        assert ranks[n] == pytest.approx(want[n], abs=1e-9)
+    assert ranks["b"] > ranks["a"]
+
+
+def test_pagerank_partitioning_invariant(spark, toy_edges):
+    a = linkgraph.pagerank(toy_edges, tol=1e-10, partitions=1).collect()
+    b = linkgraph.pagerank(toy_edges.repartition(5), tol=1e-10, partitions=7).collect()
+    ra = {r["node"]: r["rank"] for r in a}
+    rb = {r["node"]: r["rank"] for r in b}
+    for n in ra:
+        assert ra[n] == pytest.approx(rb[n], abs=1e-9)
+
+
+def test_pagerank_nonconvergence_raises(toy_edges):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        linkgraph.pagerank(toy_edges, max_iter=2, tol=1e-15)
+
+
+def test_pagerank_no_cached_rdds_left(spark, toy_edges):
+    linkgraph.pagerank(toy_edges, tol=1e-8).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    # persisted edges/nodes released; localCheckpoint RDDs are not listed
+    # as persistent once the returned frame is the only live reference
+    assert jsc.getPersistentRDDs().size() <= 1  # the final checkpointed ranks
+
+
+def test_corpus_pagerank_runs(spark, pages_cache, tmp_path):
+    """End-to-end over the synthetic corpus: the bare pages carry no <a>
+    tags, so append a deterministic footer link per page (Catalyst binary
+    concat — url-hash picks the target host) and run extract → host graph
+    → ranks in path mode."""
+    pages = spark.read.parquet(f"{pages_cache}/pages.parquet")
+    footer = F.concat(
+        F.lit(b'<a href="http://h'),
+        F.lpad((F.crc32(F.col("url").cast("binary")) % 40).cast("string"), 3, "0"),
+        F.lit(b'.example.com/">next</a>'),
+    )
+    linked = pages.withColumn("html", F.concat("html", footer.cast("binary")))
+    edges = linkgraph.host_graph(linkgraph.extract_links(linked))
+    assert edges.count() > 0
+    out = str(tmp_path / "ranks")
+    ranks = linkgraph.pagerank(
+        edges, tol=1e-8, materialize="path", out_path=out
+    )
+    pdf = ranks.toPandas()
+    assert abs(pdf["rank"].sum() - 1.0) < 1e-6
+    # path mode landed the result where asked
+    assert spark.read.parquet(out).count() == len(pdf)
+    assert len(pdf) >= 40
