@@ -247,7 +247,12 @@ def pagerank(
     if n == 0:
         e.unpersist()
         nodes.unpersist()
-        return spark.createDataFrame([], "node string, rank double")
+        empty = spark.createDataFrame([], "node string, rank double")
+        if owns_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+        if materialize == "path":
+            return util.materialize(empty, mode="path", path=out_path)
+        return empty
     src_nodes = e.select(F.col("src").alias("_src_node")).distinct()
 
     ranks = cut(nodes.select("node", F.lit(1.0 / n).alias("rank")))
@@ -267,13 +272,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        teleport = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(teleport)
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )

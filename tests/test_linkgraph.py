@@ -174,3 +174,30 @@ def test_corpus_pagerank_runs(spark, pages_cache, tmp_path):
     # path mode landed the result where asked
     assert spark.read.parquet(out).count() == len(pdf)
     assert len(pdf) >= 40
+
+
+def test_pagerank_checkpoints_stay_in_base_dir(spark, toy_edges, monkeypatch, tmp_path):
+    """Regression: the per-iteration teleport scalar once shadowed the
+    checkpoint-dir variable, so every cut after iteration 0 wrote to a
+    float-named directory in the CWD (and the real temp dir leaked).
+    checkpoint_every=1 forces a cut per iteration; the CWD must stay clean
+    and the temp base must be removed on return."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    before = set(os.listdir(tmp_path))
+    tmp_before = set(os.listdir("/tmp"))
+    linkgraph.pagerank(toy_edges, tol=1e-8, checkpoint_every=1).collect()
+    assert set(os.listdir(tmp_path)) == before
+    leaked = {
+        d for d in set(os.listdir("/tmp")) - tmp_before if d.startswith("logagg-pr-")
+    }
+    assert leaked == set()
+
+
+def test_pagerank_empty_graph_path_mode(spark, tmp_path):
+    e = spark.createDataFrame([], "src string, dst string, n_links long")
+    out = str(tmp_path / "empty_ranks")
+    got = linkgraph.pagerank(e, materialize="path", out_path=out)
+    assert got.count() == 0
+    assert spark.read.parquet(out).columns == ["node", "rank"]
