@@ -151,6 +151,95 @@ def host_graph(links: DataFrame, *, keep_self_loops: bool = False) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+def anchor_stats(links: DataFrame, *, top_k: int = 3) -> DataFrame:
+    """Per-target anchor rollup — the classic off-page relevance signal
+    (what OTHER pages call this page): ``(dst_url, n_inlinks,
+    n_src_hosts, top_anchors)``.
+
+    ``top_anchors`` = the ``top_k`` most frequent normalized anchor
+    strings — lowercased, ASCII-whitespace runs collapsed to one space
+    (the pinned cross-engine class: Java ``\\s``), trimmed, non-empty —
+    count-desc then lexical: a total order, so the list is deterministic
+    across partitionings.
+
+    Scale shape: both aggregations shuffle on ``dst_url`` (the same key,
+    so AQE coalesces them into one exchange reuse); the per-anchor top-k
+    is a ``row_number`` window over (dst_url) — partial aggregation has
+    already collapsed each (dst_url, anchor) to one row, so the window
+    input is bounded by distinct-anchor count, not inlink count. A
+    skew-hot page (millions of inlinks) is therefore reduced map-side
+    before any single task sees it; no ``collect_list`` of raw inlinks
+    ever materializes.
+    """
+    from pyspark.sql import Window
+
+    a = links.select(
+        F.col("dst_url"),
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("_src_host"),
+        F.trim(
+            F.regexp_replace(F.lower(F.col("anchor")), "[ \\t\\n\\x0b\\f\\r]+", " ")
+        ).alias("_anchor"),
+    )
+    stats = a.groupBy("dst_url").agg(
+        F.count("*").alias("n_inlinks"),
+        F.count_distinct("_src_host").alias("n_src_hosts"),
+    )
+    per_anchor = (
+        a.filter(F.col("_anchor") != "")
+        .groupBy("dst_url", "_anchor")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.desc("_n"), F.asc("_anchor"))
+    top = (
+        per_anchor.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .groupBy("dst_url")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rk", "_anchor"))),
+                lambda s: s["_anchor"],
+            ).alias("top_anchors")
+        )
+    )
+    return stats.join(top, "dst_url", "left").select(
+        "dst_url",
+        "n_inlinks",
+        "n_src_hosts",
+        F.coalesce("top_anchors", F.array().cast("array<string>")).alias(
+            "top_anchors"
+        ),
+    )
+
+
+def anchor_stats_py(
+    rows: list[tuple[str, str, str]], *, top_k: int = 3
+) -> dict[str, tuple[int, int, list[str]]]:
+    """Driver-side twin of :func:`anchor_stats` over ``(url, dst_url,
+    anchor)`` tuples, for differential tests."""
+    from collections import Counter, defaultdict
+
+    inlinks: Counter = Counter()
+    hosts: dict[str, set] = defaultdict(set)
+    anchors: dict[str, Counter] = defaultdict(Counter)
+    for url, dst, anchor in rows:
+        inlinks[dst] += 1
+        h = urlparse(url).hostname
+        if h:  # count_distinct skips NULL — unparseable srcs don't count
+            hosts[dst].add(h.lower())
+        a = re.sub(r"[ \t\n\x0b\f\r]+", " ", anchor.lower()).strip(" ")
+        if a:
+            anchors[dst][a] += 1
+    out = {}
+    for dst in inlinks:
+        top = sorted(anchors[dst].items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out[dst] = (inlinks[dst], len(hosts[dst]), [a for a, _ in top])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,50 @@ def test_extract_links_spark_matches_kernel_and_plan(spark, pages_cache):
 
 
 # ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+def test_anchor_stats_matches_twin(spark):
+    rows = [
+        # (src url, dst, anchor) — t.com gets 4 inlinks from 2 hosts;
+        # "click here" wins on count, then lexical ties
+        ("http://a.com/1", "http://t.com/", "Click  HERE"),
+        ("http://a.com/2", "http://t.com/", "click here "),
+        ("http://b.com/x", "http://t.com/", "best page"),
+        ("http://b.com/y", "http://t.com/", "awesome page"),
+        ("http://a.com/1", "http://u.com/", ""),  # empty anchor: counts as inlink only
+        ("not a url", "http://u.com/", "U"),  # unparseable src host
+    ]
+    links = spark.createDataFrame(rows, "url string, dst_url string, anchor string")
+    got = {
+        r["dst_url"]: (r["n_inlinks"], r["n_src_hosts"], r["top_anchors"])
+        for r in linkgraph.anchor_stats(links, top_k=2).collect()
+    }
+    want = linkgraph.anchor_stats_py(rows, top_k=2)
+    assert got == want
+    assert got["http://t.com/"] == (4, 2, ["click here", "awesome page"])
+    assert got["http://u.com/"] == (2, 1, ["u"])
+
+
+def test_anchor_stats_corpus_scale_invariants(spark, pages_cache):
+    pages = spark.read.parquet(f"{pages_cache}/pages.parquet")
+    footer = F.concat(
+        F.lit(b'<a href="http://h'),
+        F.lpad((F.crc32(F.col("url").cast("binary")) % 7).cast("string"), 3, "0"),
+        F.lit(b'.example.com/">next page</a>'),
+    )
+    linked = pages.withColumn("html", F.concat("html", footer.cast("binary")))
+    links = linkgraph.extract_links(linked)
+    stats = linkgraph.anchor_stats(links).persist()
+    assert stats.count() == 7
+    total = stats.agg(F.sum("n_inlinks")).collect()[0][0]
+    assert total == links.count()
+    for r in stats.collect():
+        assert r["top_anchors"] == ["next page"]
+    stats.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # host graph + pagerank
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""BM25 inverted index: token contract (Spark == Python), ranked results
+vs the driver-side twin, and the bucket-pruned query plan."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logagg import searchidx
+
+
+CORPUS = {
+    "d1": "the quick brown fox jumps over the lazy dog",
+    "d2": "a lazy dog sleeps all day; the dog is very lazy",
+    "d3": "quick quick quick — brevity is the soul of wit",
+    "d4": "Foxes are wild canids. A fox's den is underground.",
+    "d5": "completely unrelated document about spark partitions and shuffles",
+    "d6": "",
+}
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bm25") / "idx")
+    docs = spark.createDataFrame(
+        list(CORPUS.items()), "id string, text string"
+    )
+    meta = searchidx.build_index(docs, out, num_buckets=8)
+    assert meta["n_docs"] == len(CORPUS)
+    return out
+
+
+def test_search_tokens_contract(spark):
+    samples = [
+        "The QUICK  brown\tfox!",
+        "digits 123 mix3d and café ünïcode",  # non-ascii letters split tokens
+        "a-b_c.d,e;f",
+        "",
+        "\x0b\f\r\n   ",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [
+        list(r["toks"])
+        for r in df.select(searchidx.search_tokens_col(F.col("t")).alias("toks"))
+        .collect()
+    ]
+    want = [searchidx.search_tokens_py(s) for s in samples]
+    assert got == want
+    assert want[1] == ["digits", "123", "mix3d", "and", "caf", "n", "code"]
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["lazy dog", "quick", "fox den", "the", "spark SHUFFLES!", "absent-term xyzzy"],
+)
+def test_bm25_matches_twin(spark, index_dir, query):
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(spark, index_dir, query, k=4).collect()
+    ]
+    want = searchidx.bm25_search_py(CORPUS, query, k=4)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_bm25_empty_query_and_rare_term(spark, index_dir):
+    assert searchidx.bm25_search(spark, index_dir, "  ?! ").count() == 0
+    # a term present in exactly one doc ranks that doc first
+    top = searchidx.bm25_search(spark, index_dir, "underground", k=1).collect()
+    assert [r["id"] for r in top] == ["d4"]
+
+
+def test_query_plan_prunes_buckets_and_pushes_terms(spark, index_dir):
+    p = searchidx.query_postings(spark, index_dir, ["lazy", "dog"])
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the term IN-list reaches the parquet scan
+    assert "PushedFilters: [" in plan and "In(term" in plan
+    # and only the needed bucket partitions are actually read
+    # (inputFiles() ignores filters — row provenance via input_file_name)
+    files = {
+        r["f"] for r in p.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    n_buckets_read = len({f.split("bucket=")[1].split("/")[0] for f in files})
+    assert 1 <= n_buckets_read <= 2
+
+
+def test_bm25_corpus_scale(spark, tmp_path):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    out = str(tmp_path / "idx")
+    meta = searchidx.build_index(docs, out, num_buckets=16)
+    assert meta["n_docs"] == 500
+    pdf = docs.toPandas()
+    corpus = dict(zip(pdf["id"].astype(str), pdf["text"]))
+    # take a mid-frequency word from the corpus itself as the query
+    query = searchidx.search_tokens_py(pdf["text"].iloc[0])[3]
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(spark, out, query, k=10).collect()
+    ]
+    want = searchidx.bm25_search_py(corpus, query, k=10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
