@@ -556,6 +556,58 @@ def _headline():
             F.sum("n_bad").alias("n_bad"),
         )
 
+    def linkrank_run(spark, sf_dir):
+        # crawl-graph shape: outlink extraction (map-only Arrow pass over
+        # html) → host edge rollup → distributed PageRank at a FIXED
+        # 20-iteration budget (the production host-rank contract —
+        # published web host ranks are fixed-budget power iterations;
+        # tol=0 makes the work deterministic instead of convergence-
+        # dependent). The synthetic pages carry no <a> tags, so a
+        # deterministic url-hash footer link is concatenated JVM-side
+        # first (same recipe as the corpus test) — extraction still
+        # parses every page's html.
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from logagg import linkgraph as lg
+
+        pages = entrymod._pages(spark, sf_dir)
+        footer = F.concat(
+            F.lit(b'<a href="http://h'),
+            F.lpad(
+                (F.crc32(F.col("url").cast("binary")) % 200).cast("string"), 3, "0"
+            ),
+            F.lit(b'.example.com/">next</a>'),
+        )
+        linked = pages.withColumn("html", F.concat("html", footer.cast("binary")))
+        edges = lg.host_graph(lg.extract_links(linked))
+        out = tempfile.mkdtemp(prefix="logagg-bench-pr-")
+        return lg.pagerank(
+            edges,
+            tol=0.0,
+            max_iter=20,
+            on_max_iter="return",
+            materialize="path",
+            out_path=f"{out}/ranks",
+        )
+
+    def bm25_run(spark, sf_dir):
+        # index-build + query shape: tokenize the document corpus, land the
+        # term-bucketed postings, then one ranked retrieval off the index.
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from logagg import searchidx as si
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        out = tempfile.mkdtemp(prefix="logagg-bench-bm25-")
+        si.build_index(docs, f"{out}/idx", num_buckets=32)
+        return si.bm25_search(spark, f"{out}/idx", "spark data pipeline", k=20)
+
     return {
         "parse_records": (qs["parse_records"], count),
         "curate_e2e": (curate_run, count_unpersist),
@@ -575,6 +627,8 @@ def _headline():
         "lm_train_score": (lm_run, count),
         "bpe_train_encode": (bpe_run, count),
         "warc_ingest": (warc_run, collect),
+        "linkgraph_pagerank": (linkrank_run, count),
+        "bm25_build_search": (bm25_run, collect),
         "tpch_q1": (qs["tpch_q1"], collect),
         "tpch_q9_profit": (qs["tpch_q9_profit"], collect),
         "grok_error_codes": (qs["grok_error_codes"], count),

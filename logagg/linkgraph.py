@@ -254,6 +254,7 @@ def pagerank(
     partitions: int | None = None,
     materialize: str = "local",
     out_path: str | None = None,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Power-iteration PageRank over ``(src, dst[, n_links])`` →
     ``(node, rank)`` summing to 1.
@@ -274,12 +275,23 @@ def pagerank(
     elsewhere — removed on return after the (#hosts-sized, bounded)
     result is materialized. ``materialize="path"`` + ``out_path`` lands
     the ranks in parquet instead — the 100 TB result shape (a page-level
-    graph's rank table is corpus-sized; it never visits the driver)."""
+    graph's rank table is corpus-sized; it never visits the driver).
+
+    ``on_max_iter``: ``"raise"`` (default) refuses to return ranks that
+    have not met ``tol`` — the audit contract. ``"return"`` hands back the
+    ``max_iter``-step ranks regardless — the fixed-iteration-budget mode
+    production host-rank jobs actually run (published web host ranks are
+    fixed-budget power iterations; beyond ~an L1 delta of 1e-4 the
+    ORDERING of hosts is already stable even though the values drift)."""
     import shutil
     import tempfile
     import uuid
 
     spark = edges.sparkSession
+    if on_max_iter not in ("raise", "return"):
+        raise ValueError(
+            f"on_max_iter must be 'raise' or 'return', got {on_max_iter!r}"
+        )
     if materialize not in ("local", "path"):
         raise ValueError(f"materialize must be 'local' or 'path', got {materialize!r}")
     if materialize == "path" and not out_path:
@@ -400,7 +412,7 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     try:
-        if not converged:
+        if not converged and on_max_iter == "raise":
             raise RuntimeError(
                 f"pagerank did not converge in {max_iter} iterations "
                 f"(last L1 delta {delta:.3e} ≥ tol {tol:.1e}); raise max_iter "

@@ -74,6 +74,21 @@ def build_index(
     """Tokenize ``docs`` and land the BM25 index under ``out_dir``.
     Returns the corpus meta dict ``{n_docs, avgdl, num_buckets}``."""
     spark = docs.sparkSession
+    postings, dl = _postings_frame(docs, id_col, text_col, num_buckets)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/postings"
+    )
+    m = dl.agg(
+        F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
+    ).collect()[0]
+    return _write_meta(spark, out_dir, m["n_docs"], m["sum_dl"], num_buckets)
+
+
+def _postings_frame(docs: DataFrame, id_col: str, text_col: str, num_buckets: int):
+    """``(postings, doc_lengths)`` frames for a document batch. Postings
+    are co-located per bucket and term-sorted within files so parquet
+    row-group min/max statistics make the query-time ``term IN (...)`` a
+    skip scan."""
     toks = docs.select(
         F.col(id_col).cast("string").alias("id"),
         search_tokens_col(F.col(text_col)).alias("_toks"),
@@ -87,32 +102,55 @@ def build_index(
     postings = (
         tf.join(dl, "id")
         .select(
-            "term",
-            "id",
-            "tf",
-            "dl",
-            _bucket(F.col("term"), num_buckets).alias("bucket"),
+            "term", "id", "tf", "dl", _bucket(F.col("term"), num_buckets).alias("bucket")
         )
-        # co-locate each bucket, then sort by term so parquet row-group
-        # min/max statistics make the query-time term IN (...) a skip scan
         .repartition("bucket")
         .sortWithinPartitions("bucket", "term")
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{out_dir}/postings"
+    return postings, dl
+
+
+def _write_meta(spark, out_dir: str, n_docs: int, sum_dl: int, num_buckets: int) -> dict:
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, int(sum_dl), float(avgdl), num_buckets)],
+        "n_docs long, sum_dl long, avgdl double, num_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+    return {"n_docs": n_docs, "avgdl": avgdl, "num_buckets": num_buckets}
+
+
+def update_index(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> dict:
+    """Fold a NEW document batch into an existing index — the continuous-
+    crawl composition: tokenize only the increment, append its postings to
+    the same bucket layout, and update ``(n_docs, sum_dl)`` exactly, so
+    ``bm25_search`` after k updates is numerically identical to one
+    rebuild over the union (pinned in tests). Doc ids must be new —
+    re-submitting a doc double-counts it (dedup upstream, exactly as the
+    incremental MinHash index requires).
+
+    Not atomic across the two writes (postings append, then meta
+    overwrite): on a cluster the pair belongs in one table transaction
+    (Iceberg); a crash between them leaves the meta one batch stale —
+    detectable, since meta is rewritten last."""
+    spark = docs.sparkSession
+    old = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    nb = old["num_buckets"]
+    postings, dl = _postings_frame(docs, id_col, text_col, nb)
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
     )
-    meta_row = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
-        F.lit(num_buckets).alias("num_buckets"),
+    inc = dl.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).collect()[0]
+    return _write_meta(
+        spark, index_dir, old["n_docs"] + inc["n"], old["sum_dl"] + inc["s"], nb
     )
-    meta_row.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
-    m = meta_row.collect()[0]
-    return {
-        "n_docs": m["n_docs"],
-        "avgdl": float(m["avgdl"]),
-        "num_buckets": num_buckets,
-    }
 
 
 def _idf(n_docs: int, df_col):

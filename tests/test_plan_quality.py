@@ -49,6 +49,14 @@ def test_pack_sequences_plan_contract(spark):
     assert pack_plan_contract(spark) == []
 
 
+def test_search_graph_plan_contract(spark):
+    import sys
+    sys.path.insert(0, "tools")
+    from explain_plans import search_graph_plan_contract
+
+    assert search_graph_plan_contract(spark) == []
+
+
 def test_model_ops_plan_contract(spark):
     import sys
 

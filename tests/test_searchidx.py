@@ -85,6 +85,41 @@ def test_query_plan_prunes_buckets_and_pushes_terms(spark, index_dir):
     assert 1 <= n_buckets_read <= 2
 
 
+def test_update_index_equals_rebuild(spark, tmp_path):
+    """Incremental composition: build on batch 1, update with batch 2 →
+    bm25 numerically identical to one rebuild over the union (n_docs,
+    avgdl, df, tf all exact)."""
+    items = sorted(CORPUS.items())
+    b1, b2 = dict(items[:3]), dict(items[3:])
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    searchidx.build_index(
+        spark.createDataFrame(list(b1.items()), "id string, text string"),
+        inc_dir,
+        num_buckets=8,
+    )
+    meta = searchidx.update_index(
+        spark.createDataFrame(list(b2.items()), "id string, text string"), inc_dir
+    )
+    full_meta = searchidx.build_index(
+        spark.createDataFrame(list(CORPUS.items()), "id string, text string"),
+        full_dir,
+        num_buckets=8,
+    )
+    assert meta == full_meta
+    for q in ("lazy dog", "quick fox", "spark"):
+        got = [
+            (r["id"], r["score"])
+            for r in searchidx.bm25_search(spark, inc_dir, q, k=6).collect()
+        ]
+        want = [
+            (r["id"], r["score"])
+            for r in searchidx.bm25_search(spark, full_dir, q, k=6).collect()
+        ]
+        assert [i for i, _ in got] == [i for i, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
 def test_bm25_corpus_scale(spark, tmp_path):
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

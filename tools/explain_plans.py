@@ -209,6 +209,69 @@ def model_ops_plan_contract(spark) -> list[str]:
     return failures
 
 
+def search_graph_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of the search/graph ops:
+
+    * ``searchidx.bm25_search`` — the postings scan must carry BOTH a
+      partition filter on ``bucket`` (reads ≤ |query-terms| partitions)
+      and a pushed ``In(term)`` parquet filter; the per-term df join must
+      broadcast; top-k must be TakeOrdered, never a global sort.
+    * ``linkgraph.anchor_stats`` — the per-anchor count must partial-
+      aggregate BEFORE the top-k window (the window input is distinct
+      anchors, not raw inlinks), and no ``collect_list`` may sit below
+      that aggregation.
+
+    Returns a list of failure strings (empty = contract holds)."""
+    import tempfile
+
+    from logagg import linkgraph, searchidx
+
+    failures: list[str] = []
+    docs = spark.createDataFrame(
+        [(str(i), f"term{i % 3} words about things {i}") for i in range(30)],
+        "id string, text string",
+    )
+    with tempfile.TemporaryDirectory(prefix="logagg-bm25-plan-") as d:
+        idx = f"{d}/idx"
+        searchidx.build_index(docs, idx, num_buckets=8)
+        q = searchidx.bm25_search(spark, idx, "term1 things", k=5)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        if not re.search(r"PartitionFilters: \[.*bucket", plan):
+            failures.append("bm25_search: no partition filter on bucket")
+        if not re.search(r"PushedFilters: \[.*In\(term", plan):
+            failures.append("bm25_search: term IN-list not pushed to the scan")
+        if "BroadcastHashJoin" not in plan:
+            failures.append("bm25_search: per-term df join is not broadcast")
+        if "TakeOrderedAndProject" not in plan:
+            failures.append("bm25_search: top-k is not TakeOrdered (global sort?)")
+        # force execution so the temp dir isn't needed later
+        q.collect()
+
+    links = spark.createDataFrame(
+        [(f"http://h{i % 4}.com/{i}", f"http://t{i % 5}.com/", "anchor text")
+         for i in range(40)],
+        "url string, dst_url string, anchor string",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        linkgraph.anchor_stats(links).explain("formatted")
+    plan = buf.getvalue()
+    if not re.search(r"partial_count", plan):
+        failures.append("anchor_stats: no partial aggregate before the shuffle")
+    if "Window" not in plan:
+        failures.append("anchor_stats: top-k window missing")
+    # the only collect_list allowed is the post-window ≤top_k assembly of
+    # (_rk, _anchor) structs — a collect_list over anything else would be
+    # gathering raw inlinks into one task
+    for m in re.finditer(r"collect_list\((\w+)?(?:struct)?\(?([^),]*)", plan):
+        if "_rk" not in m.group(0) and "struct" not in m.group(0):
+            failures.append(
+                f"anchor_stats: collect_list over raw rows: {m.group(0)!r}"
+            )
+            break
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -259,6 +322,16 @@ def main(only: list[str]) -> int:
         if not mfails:
             print("  [ok] map-only scoring/encoding; partial-agg'd training counts")
         rc |= 1 if mfails else 0
+        print(f"{'='*70}\nsearch/graph plan contract\n{'='*70}")
+        sfails = search_graph_plan_contract(spark)
+        for msg in sfails:
+            print(f"  [VIOLATION] {msg}")
+        if not sfails:
+            print(
+                "  [ok] bm25 bucket-pruned + term-pushed + TakeOrdered; "
+                "anchor partial-agg before window"
+            )
+        rc |= 1 if sfails else 0
     return rc
 
 
