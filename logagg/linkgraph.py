@@ -427,6 +427,94 @@ def pagerank(
             shutil.rmtree(base, ignore_errors=True)
 
 
+def host_scorecard(
+    docs: DataFrame,
+    ranks: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host curation scorecard: corpus footprint × link authority —
+    ``(host, n_docs, n_tokens, mean_quality, rank)``.
+
+    One partial+final aggregation over the docs (host key), then a join
+    with the (host-sized) rank table; hosts absent from the graph keep
+    ``rank = 0.0`` (no authority evidence ≠ dropped). This is the table a
+    corpus owner eyeballs to decide mixing policy, and the input
+    :func:`authority_weights` turns into per-host sampling rates."""
+    from logagg import textstats
+
+    per_host = (
+        docs.select(
+            F.coalesce(
+                F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))),
+                F.lit("\x00invalid"),
+            ).alias("host"),
+            textstats.token_count(F.col(text_col)).alias("_nt"),
+            textstats.quality_score(
+                F.col(text_col), F.length(text_col).cast("long")
+            ).alias("_q"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.avg("_q").alias("mean_quality"),
+        )
+    )
+    r = ranks.select(F.col("node").alias("host"), "rank")
+    return per_host.join(r, "host", "left").select(
+        "host",
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        F.coalesce("rank", F.lit(0.0)).alias("rank"),
+    )
+
+
+def authority_weights(
+    scorecard: DataFrame,
+    *,
+    floor: float = 0.1,
+    cap: float = 3.0,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-host sampling rates from the scorecard: a host's raw rate is
+    its authority-per-document ratio ``(rank share) / (doc share)`` —
+    hosts whose link authority outruns their corpus footprint get
+    upsampled, link-farm-sized footprints with no authority get
+    downsampled — clipped to ``[floor, cap]`` (teleport mass guarantees
+    every host a nonzero rank, but the clip is the policy guardrail),
+    then rescaled so the EXPECTED mixture size is ``target_total``
+    documents (default: the input size — reweight without growing).
+
+    Everything stays distributed: two scalar aggregates (corpus totals,
+    expected size) are the only driver traffic; the returned
+    ``(host, weight)`` table feeds :func:`logagg.mix.mix_sources_df`
+    directly. Note the post-scale weight can exceed ``cap`` — the clip
+    bounds the RELATIVE spread, the rescale preserves corpus size."""
+    totals = scorecard.agg(
+        F.sum("n_docs").alias("nd"), F.sum("rank").alias("nr")
+    ).collect()[0]
+    n_docs_total, rank_total = totals["nd"], totals["nr"]
+    if not n_docs_total:
+        return scorecard.sparkSession.createDataFrame(
+            [], "host string, weight double"
+        )
+    budget = float(target_total if target_total is not None else n_docs_total)
+    rank_share = (
+        (F.col("rank") / F.lit(rank_total)) if rank_total else F.lit(0.0)
+    )
+    doc_share = F.col("n_docs") / F.lit(float(n_docs_total))
+    raw = F.least(
+        F.greatest(rank_share / doc_share, F.lit(float(floor))), F.lit(float(cap))
+    )
+    w = scorecard.select("host", "n_docs", raw.alias("_raw"))
+    expected = w.agg(F.sum(F.col("_raw") * F.col("n_docs"))).collect()[0][0]
+    scale = budget / expected if expected else 0.0
+    return w.select("host", (F.col("_raw") * F.lit(scale)).alias("weight"))
+
+
 def pagerank_py(
     edges: list[tuple[str, str, float]],
     *,

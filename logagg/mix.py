@@ -85,11 +85,40 @@ def mix_sources(
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
-        f"{source_col} string, _mix_weight double",
+        f"{source_col} string, _w double",
     )
+    return mix_sources_df(
+        docs, wdf, source_col=source_col, weight_col="_w", id_col=id_col,
+        seed=seed, epoch_col=epoch_col,
+    )
+
+
+def mix_sources_df(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    source_col: str = "source",
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    epoch_col: str = "mix_epoch",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """:func:`mix_sources` with the weight table as a DataFrame — the
+    form a PER-HOST mixture needs (millions of hosts never fit a driver
+    dict; :func:`logagg.linkgraph.authority_weights` produces exactly this
+    table). Same sampling semantics, same determinism contract. Flip
+    ``broadcast_weights=False`` when the weight table outgrows the
+    broadcast threshold — the join degrades to a shuffle hash join on the
+    key, still never a when-chain."""
+    wdf = weights.select(
+        F.col(source_col), F.col(weight_col).cast("double").alias("_mix_weight")
+    )
+    if broadcast_weights:
+        wdf = F.broadcast(wdf)
     copies = mix_copies(F.col(id_col), F.col("_mix_weight"), seed)
     return (
-        docs.join(F.broadcast(wdf), source_col)
+        docs.join(wdf, source_col)
         .withColumn("_n_copies", copies)
         .filter(F.col("_n_copies") > 0)
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))

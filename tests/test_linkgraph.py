@@ -259,6 +259,43 @@ def test_pagerank_checkpoints_stay_in_base_dir(spark, toy_edges, monkeypatch, tm
     assert leaked == set()
 
 
+def test_host_scorecard_and_authority_weights(spark):
+    docs = spark.createDataFrame(
+        [
+            ("http://big.com/%d" % i, "common words " * 20) for i in range(8)
+        ]
+        + [("http://tiny.com/1", "rare insight " * 20)]
+        + [("not a url", "junk " * 5)],
+        "url string, text string",
+    )
+    ranks = spark.createDataFrame(
+        [("big.com", 0.3), ("tiny.com", 0.6)], "node string, rank double"
+    )
+    sc = linkgraph.host_scorecard(docs, ranks).persist()
+    rows = {r["host"]: r for r in sc.collect()}
+    assert rows["big.com"]["n_docs"] == 8
+    assert rows["big.com"]["n_tokens"] == 8 * 40
+    assert rows["tiny.com"]["rank"] == pytest.approx(0.6)
+    assert rows["\x00invalid"]["rank"] == 0.0  # absent from graph, kept
+
+    w = {r["host"]: r["weight"] for r in linkgraph.authority_weights(sc).collect()}
+    # authority-per-doc: tiny.com has 2/3 of the rank on 1/10 of the docs →
+    # capped at 3.0 pre-scale; big.com ratio (0.3/0.9)/(8/10)=0.42;
+    # invalid host ratio 0 → floored at 0.1 pre-scale
+    assert w["tiny.com"] / w["\x00invalid"] == pytest.approx(3.0 / 0.1)
+    assert w["big.com"] / w["\x00invalid"] == pytest.approx((0.3 / 0.9) / 0.8 / 0.1)
+    # expected mixture size == input size (default target)
+    expected = sum(w[h] * rows[h]["n_docs"] for h in w)
+    assert expected == pytest.approx(10.0)
+    # explicit target rescales
+    w2 = {
+        r["host"]: r["weight"]
+        for r in linkgraph.authority_weights(sc, target_total=30).collect()
+    }
+    assert sum(w2[h] * rows[h]["n_docs"] for h in w2) == pytest.approx(30.0)
+    sc.unpersist()
+
+
 def test_pagerank_empty_graph_path_mode(spark, tmp_path):
     e = spark.createDataFrame([], "src string, dst string, n_links long")
     out = str(tmp_path / "empty_ranks")

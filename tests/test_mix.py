@@ -57,6 +57,32 @@ def test_mix_sources_matches_twin_and_epochs(spark, docs):
     assert all(got[d][0] in (2, 3) for d in got if src[d] == "src3")
 
 
+def test_mix_sources_df_equals_dict_path(spark, docs):
+    weights = {"src0": 0.7, "src1": 1.0, "src2": 0.4, "src3": 2.5}
+    wdf = spark.createDataFrame(
+        [(s, w) for s, w in weights.items()], "source string, weight double"
+    )
+    a = (
+        mix.mix_sources(docs, weights, seed="df-vs-dict")
+        .select("doc_id", "mix_epoch")
+        .collect()
+    )
+    b = (
+        mix.mix_sources_df(docs, wdf, seed="df-vs-dict")
+        .select("doc_id", "mix_epoch")
+        .collect()
+    )
+    key = lambda r: (r["doc_id"], r["mix_epoch"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # non-broadcast path: identical rows, shuffle join instead
+    c = (
+        mix.mix_sources_df(docs, wdf, seed="df-vs-dict", broadcast_weights=False)
+        .select("doc_id", "mix_epoch")
+        .collect()
+    )
+    assert sorted(map(key, a)) == sorted(map(key, c))
+
+
 def test_mix_sources_rejects_bad_weight(docs):
     with pytest.raises(ValueError):
         mix.mix_sources(docs, {"src0": -0.1})
