@@ -427,6 +427,29 @@ def pagerank(
             shutil.rmtree(base, ignore_errors=True)
 
 
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node degree table from a weighted edge list —
+    ``(node, out_deg, in_deg, out_links, in_links)`` where ``*_deg``
+    counts distinct neighbors and ``*_links`` sums edge weights. Two
+    partial+final aggregations + one full-outer join on the node key;
+    absent sides coalesce to 0 (a pure sink has out_deg 0, not a missing
+    row). The first sanity read of any crawl's graph (degree skew tells
+    you whether the PageRank edge partitioning needs salting)."""
+    o = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg"), F.sum("n_links").alias("out_links")
+    )
+    i = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg"), F.sum("n_links").alias("in_links")
+    )
+    return o.join(i, "node", "full").select(
+        "node",
+        *[
+            F.coalesce(c, F.lit(0)).alias(c)
+            for c in ("out_deg", "out_links", "in_deg", "in_links")
+        ],
+    )
+
+
 def host_scorecard(
     docs: DataFrame,
     ranks: DataFrame,

@@ -220,6 +220,85 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
+def snippet_py(text: str, terms: list[str], width: int = 30) -> str:
+    """Best-window snippet: the ``width``-token window with the most
+    distinct query terms (ties: more total hits, then earliest). Returns
+    the ORIGINAL text span (offsets from the same tokenizer regex), with
+    ``…`` ellipses marking truncation. Deterministic; kernel is single-
+    sourced for the Spark pass and tests."""
+    tset = set(terms)
+    toks = list(SEARCH_TOKEN_RE.finditer(text.lower()))
+    if not toks:
+        return text[: width * 8] + ("…" if len(text) > width * 8 else "")
+    hits = [i for i, m in enumerate(toks) if m.group(0) in tset]
+    if not hits:
+        end = toks[min(width, len(toks)) - 1].end()
+        return text[:end] + ("…" if end < len(text) else "")
+    best = (-1, -1, 0)  # (#distinct, #hits, -start) maximized
+    best_start = 0
+    for i in hits:
+        lo = max(0, min(i - width // 4, len(toks) - width))
+        in_win = [j for j in hits if lo <= j < lo + width]
+        key = (
+            len({toks[j].group(0) for j in in_win}),
+            len(in_win),
+            -lo,
+        )
+        if key > best:
+            best, best_start = key, lo
+    s = toks[best_start].start()
+    e = toks[min(best_start + width, len(toks)) - 1].end()
+    return ("…" if s > 0 else "") + text[s:e] + ("…" if e < len(text) else "")
+
+
+def snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    query: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+    width: int = 30,
+) -> DataFrame:
+    """Attach a best-window snippet to each search hit →
+    ``(id, score, snippet)``. ``hits`` is a :func:`bm25_search` result
+    (columns ``id, score``); ``id_col``/``text_col`` name the DOCS
+    frame's columns.
+
+    Scale shape: ``hits`` is a top-k table (bounded by design), so its ids
+    are collected and pushed into the docs scan as an ``isin`` parquet
+    filter — the corpus is never scanned for a k-row decoration; the
+    window selection is one Arrow pass over exactly k documents."""
+    import pandas as pd
+
+    terms = sorted(set(search_tokens_py(query)))
+    pairs = hits.select("id", "score").collect()
+    ids = [r["id"] for r in pairs]
+    scores = {r["id"]: r["score"] for r in pairs}
+    k = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("_t")
+    ).filter(F.col("id").isin(ids))
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "snippet": [snippet_py(t, terms, width) for t in pdf["_t"]],
+                }
+            )
+
+    snip = k.mapInPandas(kernel, schema="id string, snippet string")
+    b = snip.sparkSession.createDataFrame(
+        [(i, float(scores[i])) for i in ids], "id string, score double"
+    )
+    return (
+        snip.join(F.broadcast(b), "id")
+        .select("id", "score", "snippet")
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+
+
 def bm25_search_py(
     docs: dict[str, str],
     query: str,

@@ -259,6 +259,17 @@ def test_pagerank_checkpoints_stay_in_base_dir(spark, toy_edges, monkeypatch, tm
     assert leaked == set()
 
 
+def test_degree_stats(spark, toy_edges):
+    got = {r["node"]: (r["out_deg"], r["out_links"], r["in_deg"], r["in_links"])
+           for r in linkgraph.degree_stats(toy_edges).collect()}
+    assert got == {
+        "a.com": (2, 3, 1, 1),   # out: b(2)+c(1); in: c(1)
+        "b.com": (1, 1, 1, 2),
+        "c.com": (2, 2, 2, 2),
+        "d.com": (0, 0, 1, 1),   # pure sink, present with zeros
+    }
+
+
 def test_host_scorecard_and_authority_weights(spark):
     docs = spark.createDataFrame(
         [

@@ -120,6 +120,30 @@ def test_update_index_equals_rebuild(spark, tmp_path):
             assert gs == pytest.approx(ws, rel=1e-12)
 
 
+def test_snippet_py_window_selection():
+    text = "Alpha beta gamma. " * 10 + "The lazy dog met a quick fox today. " + "delta " * 50
+    s = searchidx.snippet_py(text, ["dog", "fox"], width=8)
+    assert "lazy dog" in s and "quick fox" in s
+    assert s.startswith("…") and s.endswith("…")
+    # no query terms → prefix window
+    s2 = searchidx.snippet_py("plain words only here", ["zzz"], width=2)
+    assert s2.startswith("plain words")
+    # empty text stays empty
+    assert searchidx.snippet_py("", ["x"]) == ""
+
+
+def test_snippets_spark_matches_kernel(spark, index_dir):
+    docs = spark.createDataFrame(list(CORPUS.items()), "id string, text string")
+    hits = searchidx.bm25_search(spark, index_dir, "lazy dog", k=3)
+    got = searchidx.snippets(docs, hits, "lazy dog", width=6).collect()
+    want_ids = [r["id"] for r in hits.collect()]
+    assert [r["id"] for r in got] == want_ids
+    terms = sorted(set(searchidx.search_tokens_py("lazy dog")))
+    for r in got:
+        assert r["snippet"] == searchidx.snippet_py(CORPUS[r["id"]], terms, 6)
+        assert "dog" in r["snippet"] or "lazy" in r["snippet"]
+
+
 def test_bm25_corpus_scale(spark, tmp_path):
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
