@@ -2,18 +2,29 @@
 
     python tools/package.py                 # → dist/logagg.zip
     spark-submit --py-files dist/logagg.zip jobs/search_job.py \
-        build  --docs /tmp/curated/docs --index /tmp/idx --buckets 64
+        build  --docs /tmp/curated/docs --index /tmp/idx --buckets 64 \
+        --positional
     spark-submit --py-files dist/logagg.zip jobs/search_job.py \
         update --docs /tmp/crawl_batch2/docs --index /tmp/idx
     spark-submit --py-files dist/logagg.zip jobs/search_job.py \
-        query  --index /tmp/idx --q "adaptive query execution" -k 10 \
+        replace --docs /tmp/recrawl/docs --index /tmp/idx
+    spark-submit --py-files dist/logagg.zip jobs/search_job.py \
+        delete --index /tmp/idx --ids url1 url2
+    spark-submit --py-files dist/logagg.zip jobs/search_job.py \
+        compact --index /tmp/idx
+    spark-submit --py-files dist/logagg.zip jobs/search_job.py \
+        query  --index /tmp/idx --q '"adaptive query" execution' -k 10 \
         --docs /tmp/curated/docs --snippets
 
-``build`` lands the term-bucketed postings + meta under ``--index``;
-``update`` folds a NEW document batch in (search afterwards is
-numerically identical to a rebuild over the union); ``query`` prints
-one JSON line per hit — with ``--snippets`` (requires ``--docs``) each
-hit carries its best-window highlight.
+``build`` lands the term-bucketed postings + doclens + meta under
+``--index`` (``--positional`` stores per-term position lists, enabling
+quoted-phrase queries); ``update`` folds a NEW document batch in;
+``replace`` upserts a re-crawled batch; ``delete`` tombstones ids;
+``compact`` drops dead generations and squashes small files — after any
+of these, search is numerically identical to a rebuild over the live
+corpus. ``query`` prints one JSON line per hit (quoted spans in ``--q``
+are phrase constraints on a positional index) — with ``--snippets``
+(requires ``--docs``) each hit carries its best-window highlight.
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("build", "update"):
+    for name in ("build", "update", "replace"):
         p = sub.add_parser(name)
         p.add_argument("--docs", required=True, help="input documents parquet")
         p.add_argument("--index", required=True)
@@ -38,6 +49,14 @@ def main() -> None:
         p.add_argument("--master", default=None)
         if name == "build":
             p.add_argument("--buckets", type=int, default=64)
+            p.add_argument("--positional", action="store_true")
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", nargs="+", required=True)
+    d.add_argument("--master", default=None)
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--master", default=None)
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
@@ -57,7 +76,7 @@ def main() -> None:
         docs = spark.read.parquet(args.docs)
         meta = searchidx.build_index(
             docs, args.index, id_col=args.id_col, text_col=args.text_col,
-            num_buckets=args.buckets,
+            num_buckets=args.buckets, positional=args.positional,
         )
         print(json.dumps({"built": args.index, **meta}))
     elif args.cmd == "update":
@@ -66,8 +85,20 @@ def main() -> None:
             docs, args.index, id_col=args.id_col, text_col=args.text_col
         )
         print(json.dumps({"updated": args.index, **meta}))
+    elif args.cmd == "replace":
+        docs = spark.read.parquet(args.docs)
+        meta = searchidx.replace_docs(
+            docs, args.index, id_col=args.id_col, text_col=args.text_col
+        )
+        print(json.dumps({"replaced": args.index, **meta}))
+    elif args.cmd == "delete":
+        meta = searchidx.delete_docs(spark, args.index, args.ids)
+        print(json.dumps({"deleted": args.index, **meta}))
+    elif args.cmd == "compact":
+        stats = searchidx.compact_index(spark, args.index)
+        print(json.dumps({"compacted": args.index, **stats}))
     else:
-        hits = searchidx.bm25_search(spark, args.index, args.q, k=args.k)
+        hits = searchidx.phrase_search(spark, args.index, args.q, k=args.k)
         if args.snippets:
             if not args.docs:
                 ap.error("--snippets requires --docs")

@@ -34,18 +34,53 @@ back map-side-combinable. Token contract pinned to ``[a-z0-9]+`` over
 the lowercased text (Java and Python agree byte-for-byte on this class;
 :func:`search_tokens_py` is the same regex, single-sourced for the twin
 :func:`bm25_search_py`).
+
+Index lifecycle (the continuous-crawl mutation surface — generation
+numbers play the role Iceberg sequence numbers play in a real table
+format, and every mutation is exact, not approximate):
+
+* every postings/doclens row carries the ``gen`` of the batch that wrote
+  it (``build_index`` = 0, each ``update_index`` increments; a constant
+  per batch, so parquet RLE stores it for ~nothing).
+* ``delete_docs`` appends ``(id, dead_gen=current)`` tombstones — "every
+  version of ``id`` at gen ≤ ``dead_gen`` is dead" — and decrements
+  ``(n_docs, sum_dl)`` exactly from the victims' stored doc lengths.
+  Nothing corpus-sized is rewritten at delete time.
+* ``replace_docs`` (re-crawl upsert) = ``delete_docs`` + ``update_index``;
+  the new version's rows carry a gen ABOVE the tombstone, so they are
+  live while every older version stays masked.
+* queries mask the (query-bounded) posting slice against the max-gen
+  tombstone per id, so df/tf/dl/n_docs/avgdl all equal a from-scratch
+  rebuild over the live set — pinned numerically in tests. With no
+  tombstones the mask short-circuits to nothing: zero overhead.
+* ``compact_index`` is the batch maintenance job: rewrites postings and
+  doclens without dead rows (one file per bucket — the small-files
+  answer after k incremental appends), drops the tombstones. Searches
+  are identical before/after. The dir-swap here is local-fs; on a
+  cluster the swap is one Iceberg RTAS/transaction.
+
+Phrase search (``positional=True`` at build time): postings gain a
+``positions array<int>`` column — which BM25 queries never read (parquet
+column pruning: the scan's ReadSchema is pinned positions-free in
+tests), so ranked search pays nothing for it. ``phrase_search`` resolves
+``"quoted spans"`` by intersecting per-term position lists with pure
+Catalyst array ops on the same bucket-pruned slice — adjacency never
+touches the corpus text.
 """
 
 from __future__ import annotations
 
 import math
 import re
+from typing import Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SEARCH_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _TOKEN_RE_LIT = "[a-z0-9]+"
+PHRASE_RE = re.compile(r'"([^"]*)"')
 
 
 def search_tokens_py(text: str) -> list[str]:
@@ -70,53 +105,129 @@ def build_index(
     id_col: str = "id",
     text_col: str = "text",
     num_buckets: int = 16,
+    positional: bool = False,
 ) -> dict:
     """Tokenize ``docs`` and land the BM25 index under ``out_dir``.
-    Returns the corpus meta dict ``{n_docs, avgdl, num_buckets}``."""
+    ``positional=True`` additionally stores per-(doc, term) position
+    lists — required by :func:`phrase_search`, invisible to BM25 queries
+    (the positions column is pruned out of their parquet scan). Returns
+    the corpus meta dict."""
     spark = docs.sparkSession
-    postings, dl = _postings_frame(docs, id_col, text_col, num_buckets)
+    postings, dl = _postings_frame(
+        docs, id_col, text_col, num_buckets, gen=0, positional=positional
+    )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
+    dl.write.mode("overwrite").parquet(f"{out_dir}/doclens")
     m = dl.agg(
         F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
     ).collect()[0]
-    return _write_meta(spark, out_dir, m["n_docs"], m["sum_dl"], num_buckets)
+    return _write_meta(
+        spark, out_dir, m["n_docs"], m["sum_dl"], num_buckets,
+        gen=0, positional=positional,
+    )
 
 
-def _postings_frame(docs: DataFrame, id_col: str, text_col: str, num_buckets: int):
-    """``(postings, doc_lengths)`` frames for a document batch. Postings
-    are co-located per bucket and term-sorted within files so parquet
-    row-group min/max statistics make the query-time ``term IN (...)`` a
-    skip scan."""
+def _postings_frame(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    *,
+    gen: int,
+    positional: bool,
+):
+    """``(postings, doc_lengths)`` frames for one document batch at
+    generation ``gen``. Postings are co-located per bucket and term-sorted
+    within files so parquet row-group min/max statistics make the
+    query-time ``term IN (...)`` a skip scan."""
     toks = docs.select(
         F.col(id_col).cast("string").alias("id"),
         search_tokens_col(F.col(text_col)).alias("_toks"),
     )
-    dl = toks.select("id", F.size("_toks").alias("dl"))
-    tf = (
-        toks.select("id", F.explode("_toks").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    postings = (
-        tf.join(dl, "id")
-        .select(
-            "term", "id", "tf", "dl", _bucket(F.col("term"), num_buckets).alias("bucket")
+    g = F.lit(gen).cast("long")
+    dl = toks.select("id", F.size("_toks").alias("dl"), g.alias("gen"))
+    if positional:
+        # one posexplode; tf derived from the position list so the two
+        # can never disagree
+        tf = (
+            toks.select("id", F.posexplode("_toks").alias("pos", "term"))
+            .groupBy("id", "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions").cast("long"))
         )
+        cols = ["term", "id", "tf", "dl", "gen", "positions"]
+    else:
+        tf = (
+            toks.select("id", F.explode("_toks").alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        cols = ["term", "id", "tf", "dl", "gen"]
+    postings = (
+        tf.join(dl.select("id", "dl", "gen"), "id")
+        .select(*cols, _bucket(F.col("term"), num_buckets).alias("bucket"))
         .repartition("bucket")
         .sortWithinPartitions("bucket", "term")
     )
     return postings, dl
 
 
-def _write_meta(spark, out_dir: str, n_docs: int, sum_dl: int, num_buckets: int) -> dict:
+def _write_meta(
+    spark,
+    out_dir: str,
+    n_docs: int,
+    sum_dl: int,
+    num_buckets: int,
+    *,
+    gen: int,
+    positional: bool,
+) -> dict:
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     spark.createDataFrame(
-        [(n_docs, int(sum_dl), float(avgdl), num_buckets)],
-        "n_docs long, sum_dl long, avgdl double, num_buckets int",
+        [(n_docs, int(sum_dl), float(avgdl), num_buckets, int(gen), bool(positional))],
+        "n_docs long, sum_dl long, avgdl double, num_buckets int, "
+        "gen long, positional boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
-    return {"n_docs": n_docs, "avgdl": avgdl, "num_buckets": num_buckets}
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "num_buckets": num_buckets,
+        "gen": gen,
+        "positional": positional,
+    }
+
+
+def _read_meta(spark: SparkSession, index_dir: str) -> dict:
+    d = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+    d.setdefault("gen", 0)
+    d.setdefault("positional", False)
+    d.setdefault("sum_dl", int(round(d["avgdl"] * d["n_docs"])))
+    return d
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Max-gen tombstone per id, or ``None`` when no delete ever ran (the
+    common case — searches then skip the mask entirely)."""
+    try:
+        t = spark.read.parquet(f"{index_dir}/tombstones")
+    except AnalysisException:
+        return None
+    return t.groupBy("id").agg(F.max("dead_gen").alias("_dead_gen"))
+
+
+def _live(rows: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Mask dead generations: keep rows whose ``gen`` is above the id's
+    tombstone (or untombstoned ids). The join side is the tombstone
+    table — deleted-set-sized, AQE broadcasts it when small."""
+    if tomb is None:
+        return rows
+    return (
+        rows.join(tomb, "id", "left")
+        .filter(F.col("gen") > F.coalesce(F.col("_dead_gen"), F.lit(-1)))
+        .drop("_dead_gen")
+    )
 
 
 def update_index(
@@ -127,30 +238,134 @@ def update_index(
     text_col: str = "text",
 ) -> dict:
     """Fold a NEW document batch into an existing index — the continuous-
-    crawl composition: tokenize only the increment, append its postings to
-    the same bucket layout, and update ``(n_docs, sum_dl)`` exactly, so
-    ``bm25_search`` after k updates is numerically identical to one
-    rebuild over the union (pinned in tests). Doc ids must be new —
-    re-submitting a doc double-counts it (dedup upstream, exactly as the
-    incremental MinHash index requires).
+    crawl composition: tokenize only the increment, append its postings
+    (at generation ``meta.gen + 1``) to the same bucket layout, and update
+    ``(n_docs, sum_dl)`` exactly, so ``bm25_search`` after k updates is
+    numerically identical to one rebuild over the union (pinned in
+    tests). Doc ids must be new relative to the LIVE set — re-submitting
+    a live doc double-counts it (use :func:`replace_docs` for re-crawls;
+    dedup upstream exactly as the incremental MinHash index requires).
 
-    Not atomic across the two writes (postings append, then meta
-    overwrite): on a cluster the pair belongs in one table transaction
-    (Iceberg); a crash between them leaves the meta one batch stale —
+    Not atomic across the writes (postings + doclens append, then meta
+    overwrite): on a cluster the group belongs in one table transaction
+    (Iceberg); a crash mid-way leaves the meta one batch stale —
     detectable, since meta is rewritten last."""
     spark = docs.sparkSession
-    old = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-    nb = old["num_buckets"]
-    postings, dl = _postings_frame(docs, id_col, text_col, nb)
+    old = _read_meta(spark, index_dir)
+    nb, gen = old["num_buckets"], old["gen"] + 1
+    postings, dl = _postings_frame(
+        docs, id_col, text_col, nb, gen=gen, positional=old["positional"]
+    )
     postings.write.mode("append").partitionBy("bucket").parquet(
         f"{index_dir}/postings"
     )
+    dl.write.mode("append").parquet(f"{index_dir}/doclens")
     inc = dl.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
     ).collect()[0]
     return _write_meta(
-        spark, index_dir, old["n_docs"] + inc["n"], old["sum_dl"] + inc["s"], nb
+        spark, index_dir, old["n_docs"] + inc["n"], old["sum_dl"] + inc["s"], nb,
+        gen=gen, positional=old["positional"],
     )
+
+
+def delete_docs(
+    spark: SparkSession, index_dir: str, ids: DataFrame | Iterable[str]
+) -> dict:
+    """Tombstone documents — the re-crawl/takedown path. ``ids`` is a
+    one-column DataFrame or an iterable of ids. Only CURRENTLY LIVE ids
+    take effect (deleting twice is a no-op, ids never indexed are
+    ignored), and the meta fold is exact: the victims' doc lengths come
+    from the ``doclens`` component, so ``(n_docs, sum_dl, avgdl)`` equal
+    a rebuild over the survivors. Nothing corpus-sized is rewritten —
+    searches mask the dead generations until :func:`compact_index`
+    physically drops them."""
+    meta = _read_meta(spark, index_dir)
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(ids.columns[0]).cast("string").alias("id")).distinct()
+    else:
+        idf = spark.createDataFrame(
+            [(str(i),) for i in ids], "id string"
+        ).distinct()
+    live = _live(
+        spark.read.parquet(f"{index_dir}/doclens"), _tombstones(spark, index_dir)
+    )
+    dead = live.join(idf, "id", "semi")
+    hit = dead.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).collect()[0]
+    if hit["n"] == 0:
+        return meta
+    dead.select(
+        "id", F.lit(meta["gen"]).cast("long").alias("dead_gen")
+    ).write.mode("append").parquet(f"{index_dir}/tombstones")
+    return _write_meta(
+        spark, index_dir,
+        meta["n_docs"] - hit["n"], meta["sum_dl"] - hit["s"], meta["num_buckets"],
+        gen=meta["gen"], positional=meta["positional"],
+    )
+
+
+def replace_docs(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> dict:
+    """Upsert a re-crawled batch: tombstone any live prior version of the
+    batch's ids, then fold the new texts in as a fresh generation. Ids
+    with no prior version are plain adds. After this, searches are
+    numerically identical to a rebuild where each id carries its newest
+    text (pinned in tests)."""
+    spark = docs.sparkSession
+    delete_docs(spark, index_dir, docs.select(id_col))
+    return update_index(docs, index_dir, id_col=id_col, text_col=text_col)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Physically drop tombstoned generations and squash the small files
+    k incremental appends accumulate: postings are rewritten one file per
+    bucket (term-sorted, so row-group skipping survives), doclens to
+    ~4M-row files, and the tombstone set is retired. Search results are
+    identical before and after (meta was already exact). Local-fs dir
+    swap here; on a cluster this job is one Iceberg RTAS/transaction.
+    Returns ``{files_before, files_after}``."""
+    import os
+    import shutil
+
+    meta = _read_meta(spark, index_dir)
+    tomb = _tombstones(spark, index_dir)
+
+    def _nfiles() -> int:
+        return sum(
+            1
+            for comp in ("postings", "doclens")
+            for _, _, fs in os.walk(f"{index_dir}/{comp}")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _nfiles()
+    doclens_parts = max(1, -(-meta["n_docs"] // 4_000_000))
+    for comp in ("postings", "doclens"):
+        live = _live(spark.read.parquet(f"{index_dir}/{comp}"), tomb)
+        tmp = f"{index_dir}/{comp}__compact"
+        if comp == "postings":
+            (
+                live.repartition("bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+        else:
+            live.repartition(doclens_parts).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{index_dir}/{comp}")
+        os.rename(tmp, f"{index_dir}/{comp}")
+    if tomb is not None:
+        shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    return {"files_before": before, "files_after": _nfiles()}
 
 
 def _idf(n_docs: int, df_col):
@@ -185,6 +400,39 @@ def query_postings(
     )
 
 
+def _scores(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    tomb: DataFrame | None,
+    *,
+    k1: float,
+    b: float,
+) -> DataFrame | None:
+    """Unlimited ``(id, score)`` BM25 frame for ``terms`` (tombstone-
+    masked), or ``None`` for a degenerate query/index. Shared by
+    :func:`bm25_search` and :func:`phrase_search`."""
+    if not terms:
+        return None
+    meta = _read_meta(spark, index_dir)
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    if n_docs == 0 or avgdl == 0.0:
+        return None
+    # per-term document frequency over the already-sliced, live postings:
+    # ≤ |query| rows, broadcast back
+    p = _live(query_postings(spark, index_dir, terms), tomb)
+    df_t = p.groupBy("term").agg(F.count("*").alias("_df"))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        p.join(F.broadcast(df_t), "term")
+        .select("id", (_idf(n_docs, F.col("_df")) * norm).alias("_s"))
+        .groupBy("id")
+        .agg(F.sum("_s").alias("score"))
+    )
+
+
 def bm25_search(
     spark: SparkSession,
     index_dir: str,
@@ -197,26 +445,85 @@ def bm25_search(
     """Top-``k`` ``(id, score)`` for ``query`` against a
     :func:`build_index` layout, score-desc then id-asc (total order)."""
     terms = sorted(set(search_tokens_py(query)))
-    if not terms:
+    scored = _scores(
+        spark, index_dir, terms, _tombstones(spark, index_dir), k1=k1, b=b
+    )
+    if scored is None:
         return spark.createDataFrame([], "id string, score double")
-    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
-    if n_docs == 0 or avgdl == 0.0:
-        return spark.createDataFrame([], "id string, score double")
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
-    p = query_postings(spark, index_dir, terms)
-    # per-term document frequency over the already-sliced postings:
-    # ≤ |query| rows, broadcast back
-    df_t = p.groupBy("term").agg(F.count("*").alias("_df"))
-    norm = F.col("tf") * (k1 + 1.0) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    )
-    scored = (
-        p.join(F.broadcast(df_t), "term")
-        .select("id", (_idf(n_docs, F.col("_df")) * norm).alias("_s"))
-        .groupBy("id")
-        .agg(F.sum("_s").alias("score"))
-    )
+
+def _phrase_candidates(
+    spark: SparkSession, index_dir: str, phrase: list[str], tomb: DataFrame | None
+) -> DataFrame:
+    """Ids of live documents containing ``phrase`` as adjacent tokens.
+    Pure Catalyst over the bucket-pruned posting slice: per occurrence
+    slot i the phrase's i-th term contributes its position list; the
+    fold keeps the start positions p with ``p + i`` present in slot i's
+    list. Document text is never touched."""
+    s = _live(
+        query_postings(spark, index_dir, sorted(set(phrase))), tomb
+    ).select("id", "term", "positions")
+    cur = None
+    for i, t in enumerate(phrase):
+        ti = s.filter(F.col("term") == t).select(
+            "id", F.col("positions").alias(f"_p{i}")
+        )
+        cur = ti if cur is None else cur.join(ti, "id")
+    def _adjacent(i: int):
+        # closure factory, NOT a default-arg lambda: a 2-parameter lambda
+        # in F.filter means (element, index) and would shadow the capture
+        return lambda p: F.array_contains(F.col(f"_p{i}"), p + i)
+
+    starts = F.col("_p0")
+    for i in range(1, len(phrase)):
+        starts = F.filter(starts, _adjacent(i))
+    return cur.filter(F.size(starts) > 0).select("id")
+
+
+def parse_query_py(query: str) -> tuple[list[list[str]], list[str]]:
+    """Split a query into quoted phrases (token lists, order preserved)
+    and loose terms — the pinned contract shared by the Spark path and
+    the :func:`phrase_search_py` twin."""
+    phrases = [
+        p for p in (search_tokens_py(m) for m in PHRASE_RE.findall(query)) if p
+    ]
+    loose = search_tokens_py(PHRASE_RE.sub(" ", query))
+    return phrases, loose
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` restricted to documents containing every
+    ``"quoted phrase"`` in ``query`` as adjacent tokens. Collection
+    statistics stay whole-corpus (the standard filter-then-rank
+    semantics); scoring uses ALL query terms, quoted or loose. Requires
+    a ``positional=True`` index. With no quoted phrase this IS
+    :func:`bm25_search`."""
+    phrases, loose = parse_query_py(query)
+    if not phrases:
+        return bm25_search(spark, index_dir, query, k=k, k1=k1, b=b)
+    if not _read_meta(spark, index_dir)["positional"]:
+        raise ValueError(
+            "phrase_search needs a positional index — build_index(..., "
+            "positional=True)"
+        )
+    terms = sorted(set(loose) | {t for ph in phrases for t in ph})
+    tomb = _tombstones(spark, index_dir)
+    scored = _scores(spark, index_dir, terms, tomb, k1=k1, b=b)
+    if scored is None:
+        return spark.createDataFrame([], "id string, score double")
+    for ph in phrases:
+        scored = scored.join(
+            _phrase_candidates(spark, index_dir, ph, tomb), "id", "semi"
+        )
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
@@ -299,27 +606,21 @@ def snippets(
     )
 
 
-def bm25_search_py(
-    docs: dict[str, str],
-    query: str,
-    *,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> list[tuple[str, float]]:
-    """Driver-side BM25 twin over ``{id: text}`` — same tokenizer, idf,
-    and tf normalization, for differential tests on small corpora."""
+def _bm25_scores_py(
+    docs: dict[str, str], terms: list[str], *, k1: float, b: float
+) -> dict[str, float]:
+    """Per-doc BM25 scores for ``terms`` over ``{id: text}`` — the shared
+    twin core (same tokenizer, idf, tf normalization as the Spark path)."""
     from collections import Counter
 
     tfs = {i: Counter(search_tokens_py(t)) for i, t in docs.items()}
     dls = {i: sum(c.values()) for i, c in tfs.items()}
     n = len(docs)
     if n == 0:
-        return []
+        return {}
     avgdl = sum(dls.values()) / n
     if avgdl == 0:
-        return []
-    terms = sorted(set(search_tokens_py(query)))
+        return {}
     dfreq = {t: sum(1 for c in tfs.values() if t in c) for t in terms}
     scores: dict[str, float] = {}
     for i, c in tfs.items():
@@ -332,5 +633,51 @@ def bm25_search_py(
             s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
         if s > 0.0:
             scores[i] = s
+    return scores
+
+
+def bm25_search_py(
+    docs: dict[str, str],
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side BM25 twin over ``{id: text}``, for differential tests
+    on small corpora."""
+    terms = sorted(set(search_tokens_py(query)))
+    scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def phrase_match_py(tokens: list[str], phrase: list[str]) -> bool:
+    """True when ``phrase`` occurs as adjacent tokens in ``tokens``."""
+    n = len(phrase)
+    return any(tokens[i : i + n] == phrase for i in range(len(tokens) - n + 1))
+
+
+def phrase_search_py(
+    docs: dict[str, str],
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side twin of :func:`phrase_search`: whole-corpus collection
+    statistics, phrase adjacency as a filter, BM25 over all query terms."""
+    phrases, loose = parse_query_py(query)
+    if not phrases:
+        return bm25_search_py(docs, query, k=k, k1=k1, b=b)
+    terms = sorted(set(loose) | {t for ph in phrases for t in ph})
+    scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
+    toks = {i: search_tokens_py(t) for i, t in docs.items()}
+    kept = {
+        i: s
+        for i, s in scores.items()
+        if all(phrase_match_py(toks[i], ph) for ph in phrases)
+    }
+    ranked = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -105,7 +105,11 @@ def test_update_index_equals_rebuild(spark, tmp_path):
         full_dir,
         num_buckets=8,
     )
-    assert meta == full_meta
+    # gen is lineage bookkeeping (1 after an update vs 0 fresh); every
+    # search-visible statistic must be identical
+    assert {k: v for k, v in meta.items() if k != "gen"} == {
+        k: v for k, v in full_meta.items() if k != "gen"
+    }
     for q in ("lazy dog", "quick fox", "spark"):
         got = [
             (r["id"], r["score"])
@@ -142,6 +146,210 @@ def test_snippets_spark_matches_kernel(spark, index_dir):
     for r in got:
         assert r["snippet"] == searchidx.snippet_py(CORPUS[r["id"]], terms, 6)
         assert "dog" in r["snippet"] or "lazy" in r["snippet"]
+
+
+QUERIES = ("lazy dog", "quick fox", "spark", "the")
+
+
+def _search_pairs(spark, idx, q, k=6):
+    return [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(spark, idx, q, k=k).collect()
+    ]
+
+
+def _assert_matches_twin(spark, idx, corpus, queries=QUERIES, k=6):
+    for q in queries:
+        got = _search_pairs(spark, idx, q, k)
+        want = searchidx.bm25_search_py(corpus, q, k=k)
+        assert [i for i, _ in got] == [i for i, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_delete_docs_equals_rebuild(spark, tmp_path):
+    """Tombstone-masked search == a from-scratch rebuild over the
+    survivors: n_docs, avgdl, df, tf, dl all exact after a delete."""
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(list(CORPUS.items()), "id string, text string")
+    searchidx.build_index(docs, idx, num_buckets=8)
+    meta = searchidx.delete_docs(spark, idx, ["d2", "d4", "never-indexed"])
+    survivors = {i: t for i, t in CORPUS.items() if i not in ("d2", "d4")}
+    assert meta["n_docs"] == len(survivors)
+    assert meta["avgdl"] == pytest.approx(
+        sum(len(searchidx.search_tokens_py(t)) for t in survivors.values())
+        / len(survivors)
+    )
+    _assert_matches_twin(spark, idx, survivors)
+    # deleting again is a no-op: same meta, no double decrement
+    again = searchidx.delete_docs(spark, idx, ["d2", "d4"])
+    assert again["n_docs"] == meta["n_docs"]
+    assert again["avgdl"] == pytest.approx(meta["avgdl"])
+    _assert_matches_twin(spark, idx, survivors)
+
+
+def test_replace_docs_upsert_equals_rebuild(spark, tmp_path):
+    """Re-crawl upsert: replaced ids serve their NEW text, a fresh id is
+    a plain add, and every statistic matches a rebuild over the updated
+    corpus — including a re-add after an explicit delete."""
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(list(CORPUS.items()), "id string, text string")
+    searchidx.build_index(docs, idx, num_buckets=8)
+    new_batch = {
+        "d2": "the dog retired; a very quick cat patrols the yard now",
+        "d7": "a brand new page about foxes and shuffle partitions",
+    }
+    searchidx.replace_docs(
+        spark.createDataFrame(list(new_batch.items()), "id string, text string"),
+        idx,
+    )
+    corpus = {**CORPUS, **new_batch}
+    _assert_matches_twin(spark, idx, corpus, QUERIES + ("cat patrols", "foxes"))
+    # delete then re-add the same id: the re-added generation is live
+    searchidx.delete_docs(spark, idx, ["d1"])
+    readd = {"d1": "an entirely different first document"}
+    searchidx.update_index(
+        spark.createDataFrame(list(readd.items()), "id string, text string"), idx
+    )
+    corpus = {**corpus, **readd}
+    _assert_matches_twin(spark, idx, corpus, QUERIES + ("entirely different",))
+
+
+def test_compact_index_identical_and_squashes_files(spark, tmp_path):
+    """Compaction drops dead rows + small files; searches are identical
+    before and after, and the tombstone set is retired."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    items = sorted(CORPUS.items())
+    searchidx.build_index(
+        spark.createDataFrame(items[:2], "id string, text string"),
+        idx,
+        num_buckets=8,
+    )
+    for chunk in (items[2:4], items[4:]):
+        searchidx.update_index(
+            spark.createDataFrame(chunk, "id string, text string"), idx
+        )
+    searchidx.delete_docs(spark, idx, ["d3"])
+    before = {q: _search_pairs(spark, idx, q) for q in QUERIES}
+    stats = searchidx.compact_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert not os.path.exists(f"{idx}/tombstones")
+    # one file per non-empty bucket dir
+    pdir = f"{idx}/postings"
+    for b in os.listdir(pdir):
+        if b.startswith("bucket="):
+            files = [f for f in os.listdir(f"{pdir}/{b}") if f.endswith(".parquet")]
+            assert len(files) == 1, b
+    survivors = {i: t for i, t in CORPUS.items() if i != "d3"}
+    _assert_matches_twin(spark, idx, survivors)
+    for q in QUERIES:
+        after = _search_pairs(spark, idx, q)
+        assert [i for i, _ in after] == [i for i, _ in before[q]]
+        for (_, a), (_, w) in zip(after, before[q]):
+            assert a == pytest.approx(w, rel=1e-12)
+
+
+PHRASE_CORPUS = {
+    "p1": "the quick brown fox jumps over the lazy dog",
+    "p2": "brown quick the fox — same words, no phrase",
+    "p3": "a quick brown dog and a slow fox",
+    "p4": "Quick, brown!? Fox... punctuation does not break adjacency",
+    "p5": "the the the repeated token phrase lives here",
+    "p6": "totally unrelated text about parquet row groups",
+}
+
+
+@pytest.fixture()
+def phrase_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bm25pos") / "idx")
+    docs = spark.createDataFrame(
+        list(PHRASE_CORPUS.items()), "id string, text string"
+    )
+    searchidx.build_index(docs, out, num_buckets=8, positional=True)
+    return out
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"quick brown" fox',          # adjacency separates p1/p3/p4 from p2
+        '"quick brown fox"',          # 3-term phrase
+        '"the the" phrase',           # repeated term inside a phrase
+        '"brown fox" "lazy dog"',     # two phrases must BOTH match
+        '"no such phrase here at all"',
+        'plain ranked query',         # no quotes → bm25 semantics
+        '"fox jumps" unrelated parquet',  # loose terms still score
+    ],
+)
+def test_phrase_search_matches_twin(spark, phrase_index, query):
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.phrase_search(spark, phrase_index, query, k=6).collect()
+    ]
+    want = searchidx.phrase_search_py(PHRASE_CORPUS, query, k=6)
+    assert [i for i, _ in got] == [i for i, _ in want], query
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_phrase_search_semantics(spark, phrase_index):
+    # adjacency, not bag-of-words: p2 has the words but not the phrase
+    ids = {
+        r["id"]
+        for r in searchidx.phrase_search(
+            spark, phrase_index, '"quick brown"', k=6
+        ).collect()
+    }
+    assert "p1" in ids and "p3" in ids and "p4" in ids and "p2" not in ids
+    # punctuation between tokens does not break adjacency (tokenizer contract)
+    assert "p4" in ids
+def test_phrase_search_needs_positional_index(spark, index_dir):
+    # index_dir fixture builds WITHOUT positions → clear refusal
+    with pytest.raises(ValueError, match="positional"):
+        searchidx.phrase_search(spark, index_dir, '"lazy dog"')
+
+
+def test_positional_index_bm25_and_update(spark, phrase_index, tmp_path):
+    """A positional index serves plain BM25 identically (positions are
+    dead weight the scan prunes), and updates keep positions working."""
+    _assert_matches_twin(
+        spark, phrase_index, PHRASE_CORPUS, ("quick brown", "fox", "parquet")
+    )
+    # the BM25 query plan never reads the positions column
+    terms = ["quick", "brown"]
+    p = searchidx.query_postings(spark, phrase_index, terms)
+    scan = p.select("id", "term", "tf", "dl", "gen")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "positions" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # update a positional index, then phrase-search across both batches
+    new = {"p7": "another quick brown fox arrives"}
+    searchidx.update_index(
+        spark.createDataFrame(list(new.items()), "id string, text string"),
+        phrase_index,
+    )
+    corpus = {**PHRASE_CORPUS, **new}
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.phrase_search(
+            spark, phrase_index, '"quick brown fox"', k=6
+        ).collect()
+    ]
+    want = searchidx.phrase_search_py(corpus, '"quick brown fox"', k=6)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_parse_query_and_phrase_match_py():
+    phrases, loose = searchidx.parse_query_py('"Quick Brown" fox "a  b" "" z')
+    assert phrases == [["quick", "brown"], ["a", "b"]]
+    assert loose == ["fox", "z"]
+    assert searchidx.phrase_match_py(["a", "b", "c"], ["b", "c"])
+    assert not searchidx.phrase_match_py(["a", "b", "c"], ["c", "b"])
+    assert searchidx.phrase_match_py(["x"], ["x"])
+    assert not searchidx.phrase_match_py([], ["x"])
 
 
 def test_bm25_corpus_scale(spark, tmp_path):

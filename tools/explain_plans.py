@@ -247,6 +247,28 @@ def search_graph_plan_contract(spark) -> list[str]:
         # force execution so the temp dir isn't needed later
         q.collect()
 
+        # positional index: BM25 must NOT pay for the positions column
+        # (parquet column pruning), and phrase queries keep the same
+        # bucket pruning + term pushdown
+        pidx = f"{d}/pidx"
+        searchidx.build_index(docs, pidx, num_buckets=8, positional=True)
+        q2 = searchidx.bm25_search(spark, pidx, "term1 things", k=5)
+        plan2 = q2._jdf.queryExecution().executedPlan().toString()
+        for rs in re.findall(r"ReadSchema: struct<[^>]*>", plan2):
+            if "positions" in rs:
+                failures.append(
+                    "bm25_search(positional index): positions column not "
+                    f"pruned from the scan: {rs}"
+                )
+                break
+        q3 = searchidx.phrase_search(spark, pidx, '"term1 words" things', k=5)
+        plan3 = q3._jdf.queryExecution().executedPlan().toString()
+        if not re.search(r"PartitionFilters: \[.*bucket", plan3):
+            failures.append("phrase_search: no partition filter on bucket")
+        if not re.search(r"PushedFilters: \[.*In\(term", plan3):
+            failures.append("phrase_search: term IN-list not pushed to the scan")
+        q3.collect()
+
     links = spark.createDataFrame(
         [(f"http://h{i % 4}.com/{i}", f"http://t{i % 5}.com/", "anchor text")
          for i in range(40)],
