@@ -65,6 +65,14 @@ def main() -> None:
     q.add_argument("--id-col", default="doc_id")
     q.add_argument("--text-col", default="text")
     q.add_argument("--snippets", action="store_true")
+    q.add_argument(
+        "--ranks",
+        default=None,
+        help="(node, rank) parquet (pagerank/trustrank output) for "
+        "authority-blended ranking; term search only (no phrase operators)",
+    )
+    q.add_argument("--boost", type=float, default=1.0)
+    q.add_argument("--rank-key", choices=("host", "id"), default="host")
     q.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -98,7 +106,14 @@ def main() -> None:
         stats = searchidx.compact_index(spark, args.index)
         print(json.dumps({"compacted": args.index, **stats}))
     else:
-        hits = searchidx.phrase_search(spark, args.index, args.q, k=args.k)
+        if args.ranks:
+            ranks = spark.read.parquet(args.ranks)
+            hits = searchidx.ranked_search(
+                spark, args.index, args.q, ranks,
+                k=args.k, boost=args.boost, rank_key=args.rank_key,
+            )
+        else:
+            hits = searchidx.phrase_search(spark, args.index, args.q, k=args.k)
         if args.snippets:
             if not args.docs:
                 ap.error("--snippets requires --docs")

@@ -37,6 +37,7 @@ needed: rank VALUES, not orderings, are the output.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Iterator
 from urllib.parse import urljoin, urlparse
@@ -255,9 +256,23 @@ def pagerank(
     materialize: str = "local",
     out_path: str | None = None,
     on_max_iter: str = "raise",
+    teleport_weights: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over ``(src, dst[, n_links])`` →
     ``(node, rank)`` summing to 1.
+
+    ``teleport_weights`` — optional ``(node, weight)`` DataFrame —
+    switches to PERSONALIZED PageRank: the random surfer restarts at
+    ``node`` with probability proportional to ``weight`` instead of
+    uniformly (weights are renormalized over graph nodes; nodes absent
+    from the frame get teleport 0; the intersection must carry positive
+    weight or this raises). Dangling mass redistributes onto the same
+    personalization vector — the biased-restart completion. With a
+    trusted seed set as the weights this is TrustRank (Gyöngyi et al.,
+    VLDB 2004 — public): pages unreachable from the seeds by forward
+    links converge to rank exactly 0, which is the spam-demotion signal
+    plain PageRank cannot express. The weights frame is node-table-sized
+    and stays distributed (one scalar sum crosses the driver).
 
     ``weighted=True`` splits a page's vote by edge weight (``n_links``)
     instead of uniformly across distinct out-neighbors. Dangling nodes
@@ -356,7 +371,33 @@ def pagerank(
         return empty
     src_nodes = e.select(F.col("src").alias("_src_node")).distinct()
 
-    ranks = cut(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    # per-node teleport share t(v): uniform 1/n, or the renormalized
+    # personalization vector (TrustRank when the weights are a seed set)
+    if teleport_weights is not None:
+        tw = teleport_weights.select(
+            F.col("node").cast("string").alias("node"),
+            F.col("weight").cast("double").alias("_tw"),
+        )
+        joined = nodes.join(tw, "node", "left").select(
+            "node", F.coalesce("_tw", F.lit(0.0)).alias("_tw")
+        )
+        t_total = joined.agg(F.sum("_tw")).collect()[0][0] or 0.0
+        if t_total <= 0.0:
+            e.unpersist()
+            nodes.unpersist()
+            if owns_tmp:
+                shutil.rmtree(base, ignore_errors=True)
+            raise ValueError(
+                "teleport_weights carries no positive weight on any graph "
+                "node — the personalization vector is undefined"
+            )
+        tnodes = joined.select(
+            "node", (F.col("_tw") / t_total).alias("t")
+        ).persist()
+    else:
+        tnodes = nodes.select("node", F.lit(1.0 / n).alias("t")).persist()
+
+    ranks = cut(tnodes.select("node", F.col("t").alias("rank")))
     # initial dangling mass (one scalar job; subsequent iterations fold it
     # into the delta aggregate — ONE driver round-trip per iteration)
     dangling = (
@@ -373,13 +414,15 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        teleport = (1.0 - damping) / n + damping * dangling / n
+        # (1-d)·t(v) + d·dangling·t(v) folds to one scalar factor on t —
+        # the dangling redistribution rides the personalization vector
+        tele_scale = (1.0 - damping) + damping * dangling
         new_ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            tnodes.join(contrib, tnodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    F.lit(tele_scale) * F.col("t")
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -411,6 +454,7 @@ def pagerank(
             break
     e.unpersist()
     nodes.unpersist()
+    tnodes.unpersist()
     try:
         if not converged and on_max_iter == "raise":
             raise RuntimeError(
@@ -425,6 +469,282 @@ def pagerank(
         ranks.unpersist()
         if owns_tmp:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    max_iter: int = 40,
+    tol: float = 1e-8,
+    weighted: bool = False,
+    checkpoint_every: int = 5,
+    materialize: str = "local",
+    out_path: str | None = None,
+    on_max_iter: str = "raise",
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities, SIAM 1999 — public) over
+    ``(src, dst[, n_links])`` → ``(node, hub, authority)``, each vector
+    L2-normalized. The complement to :func:`pagerank` for curation: an
+    AUTHORITY is a page good hubs point at (cite-worthy content), a HUB
+    is a page that points at good authorities (a link directory is a hub
+    with zero authority) — PageRank alone cannot tell the two apart.
+
+    Update order matches the twin exactly: ``a ← normalize(Aᵀ h_old)``
+    then ``h ← normalize(A a_new)`` — computed on raw vectors (L2
+    normalization commutes through the linear maps) so one aggregate
+    recovers both norms. Iteration shape mirrors pagerank: edges
+    hash-partitioned once and persisted; per iteration two join+sum
+    aggregations over the edge list and two scalar collects
+    (norms, L1 delta) — the only driver traffic. Lineage is cut
+    every ``checkpoint_every`` iterations under the same checkpoint
+    contract as :func:`pagerank` (configured checkpoint dir on a
+    cluster, temp dir only on a local master). Nodes never cited have
+    authority 0; nodes citing nothing have hub 0 — both stay in the
+    output. Convergence = L1 delta of (hub ⊕ authority) below ``tol``;
+    ``on_max_iter="return"`` is the fixed-budget production mode,
+    ``"raise"`` (default) the audit mode."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = edges.sparkSession
+    if on_max_iter not in ("raise", "return"):
+        raise ValueError(
+            f"on_max_iter must be 'raise' or 'return', got {on_max_iter!r}"
+        )
+    if materialize not in ("local", "path"):
+        raise ValueError(f"materialize must be 'local' or 'path', got {materialize!r}")
+    if materialize == "path" and not out_path:
+        raise ValueError("materialize='path' requires out_path")
+    sc_ckpt = spark.sparkContext.getCheckpointDir()
+    if sc_ckpt:
+        base = f"{sc_ckpt.rstrip('/')}/logagg-hits-{uuid.uuid4().hex[:8]}"
+        owns_tmp = False
+    elif spark.conf.get("spark.master", "").startswith("local"):
+        base = tempfile.mkdtemp(prefix="logagg-hits-")
+        owns_tmp = True
+    else:
+        raise ValueError(
+            "hits needs spark.sparkContext.setCheckpointDir (executor-"
+            "reachable storage) on a non-local master — the default "
+            "checkpoint location is a driver-local temp dir"
+        )
+
+    n_cuts = [0]
+
+    def cut(df: DataFrame) -> DataFrame:
+        path = f"{base}/iter_{n_cuts[0]}"
+        n_cuts[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    w = F.col("n_links").cast("double") if weighted else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            w.alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        empty = spark.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
+        if owns_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+        if materialize == "path":
+            return util.materialize(empty, mode="path", path=out_path)
+        return empty
+
+    init = 1.0 / math.sqrt(n)
+    state = cut(
+        nodes.select(
+            "node", F.lit(init).alias("hub"), F.lit(init).alias("authority")
+        )
+    )
+    converged = False
+    delta = None
+    for it in range(max_iter):
+        # L2 normalization commutes through the linear updates
+        # (normalize(A·normalize(v)) == normalize(A·v)), so one pass
+        # computes BOTH raw vectors — a_raw from the old hubs, h_raw from
+        # a_raw — and a single aggregate recovers both norms: two driver
+        # round-trips per iteration total (norms+delta), not four
+        a_raw = (
+            e.join(
+                state.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("_a"))
+        )
+        h_raw = (
+            e.join(a_raw.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("_a")).alias("_h"))
+        )
+        raw = (
+            nodes.join(a_raw, "node", "left")
+            .join(h_raw, "node", "left")
+            .select(
+                "node",
+                F.coalesce("_h", F.lit(0.0)).alias("_h"),
+                F.coalesce("_a", F.lit(0.0)).alias("_a"),
+            )
+            .persist()
+        )
+        norms = raw.agg(
+            F.sqrt(F.sum(F.col("_h") ** 2)).alias("hn"),
+            F.sqrt(F.sum(F.col("_a") ** 2)).alias("an"),
+        ).collect()[0]
+        h_norm, a_norm = norms["hn"] or 0.0, norms["an"] or 0.0
+        if a_norm == 0.0:
+            # all edge weights zero: the state is already stationary
+            raw.unpersist()
+            converged = True
+            break
+        new_state = raw.select(
+            "node",
+            (F.col("_h") / (h_norm if h_norm > 0.0 else 1.0)).alias("hub"),
+            (F.col("_a") / a_norm).alias("authority"),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_state = cut(new_state)
+        else:
+            new_state = new_state.persist()
+        # L1 delta across both vectors — the stop rule; this job also
+        # populates new_state's cache
+        delta = (
+            new_state.join(
+                state.select(
+                    "node",
+                    F.col("hub").alias("_oh"),
+                    F.col("authority").alias("_oa"),
+                ),
+                "node",
+            )
+            .agg(
+                F.sum(
+                    F.abs(F.col("hub") - F.col("_oh"))
+                    + F.abs(F.col("authority") - F.col("_oa"))
+                )
+            )
+            .collect()[0][0]
+        )
+        raw.unpersist()
+        state.unpersist()
+        state = new_state
+        if delta is not None and delta < tol:
+            converged = True
+            break
+    e.unpersist()
+    nodes.unpersist()
+    try:
+        if not converged and on_max_iter == "raise":
+            raise RuntimeError(
+                f"hits did not converge in {max_iter} iterations "
+                f"(last L1 delta {delta!r} ≥ tol {tol:.1e}); raise max_iter "
+                "or loosen tol"
+            )
+        if materialize == "path":
+            return util.materialize(state, mode="path", path=out_path)
+        return util.materialize_local(state)
+    finally:
+        state.unpersist()
+        if owns_tmp:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def hits_py(
+    edges: list[tuple[str, str, float]],
+    *,
+    max_iter: int = 500,
+    tol: float = 1e-12,
+    weighted: bool = False,
+) -> dict[str, tuple[float, float]]:
+    """Dense numpy HITS twin — identical update order and normalization,
+    driver-side, for differential tests on small graphs. Returns
+    ``{node: (hub, authority)}``."""
+    import numpy as np
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    A = np.zeros((n, n))
+    for s, d, w in edges:
+        A[idx[s], idx[d]] += w if weighted else 1.0
+    h = np.full(n, 1.0 / math.sqrt(n))
+    a = h.copy()
+    for _ in range(max_iter):
+        a_new = A.T @ h
+        norm = np.linalg.norm(a_new)
+        if norm == 0.0:
+            break
+        a_new /= norm
+        h_new = A @ a_new
+        norm = np.linalg.norm(h_new)
+        if norm > 0.0:
+            h_new /= norm
+        delta = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if delta < tol:
+            break
+    return {v: (float(h[idx[v]]), float(a[idx[v]])) for v in nodes}
+
+
+def components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Weakly-connected components of a directed edge list →
+    ``(node, component)`` where ``component`` is the lexicographically
+    smallest node id in the component (string order — ids are urls/hosts
+    here). A crawl-health primitive: the giant component's share tells
+    you whether the frontier is exploring or orbiting one cluster, and
+    small components flag link farms / disconnected captures.
+
+    Thin adapter over the dedup clustering engine
+    (:func:`logagg.dedup.dup_clusters` with explicit pairs): distributed
+    min-label propagation + pointer doubling, parquet-checkpointed,
+    convergence-proven-or-raise — one implementation, both callers.
+    Nodes with no edges are absent (a caller holding a node table can
+    left-join + coalesce to self)."""
+    pairs = edges.select(
+        F.col(src).cast("string").alias("url_a"),
+        F.col(dst).cast("string").alias("url_b"),
+    )
+    from logagg import dedup
+
+    out = dedup.dup_clusters(
+        pairs,
+        pairs=pairs,
+        max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
+        materialize=materialize,
+        out_path=out_path,
+    )
+    return out.select(
+        F.col("url").alias("node"), F.col("cluster").alias("component")
+    )
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
@@ -447,6 +767,109 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.coalesce(c, F.lit(0)).alias(c)
             for c in ("out_deg", "out_links", "in_deg", "in_links")
         ],
+    )
+
+
+def graph_health(
+    edges: DataFrame,
+    *,
+    components_df: DataFrame | None = None,
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Crawl-health datasheet over a weighted edge list
+    ``(src, dst[, n_links])`` → ONE row: ``(n_nodes, n_edges, n_links,
+    n_sinks, n_sources, max_in_deg, reciprocity, n_components,
+    giant_share)``. The numbers a crawl operator reads before trusting
+    the frontier: ``giant_share`` near 1 = the crawl is exploring one
+    connected web (near 0 = orbiting disconnected captures);
+    ``n_sources``/``n_sinks`` = frontier entry points / dangling mass;
+    ``max_in_deg`` = the skew the PageRank partitioning must survive;
+    ``reciprocity`` (share of directed edges whose reverse exists) —
+    link farms reciprocate near 1.0, organic host graphs don't.
+
+    Every statistic is a partial+final aggregate; only the final scalars
+    cross the driver. Components come from :func:`components` (host-graph
+    sized by default); a corpus-scale caller lands a page-level component
+    table via ``materialize="path"`` first and passes it as
+    ``components_df`` to keep this report all-scalar."""
+    spark = edges.sparkSession
+    has_w = "n_links" in edges.columns
+    e = (
+        edges.select(
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            (
+                F.col("n_links").cast("double") if has_w else F.lit(1.0)
+            ).alias("n_links"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
+    )
+    try:
+        deg_row = degree_stats(e).agg(
+            F.count("*").alias("n_nodes"),
+            F.sum((F.col("out_deg") == 0).cast("long")).alias("n_sinks"),
+            F.sum((F.col("in_deg") == 0).cast("long")).alias("n_sources"),
+            F.max("in_deg").alias("max_in_deg"),
+        ).collect()[0]
+        edge_row = e.agg(
+            F.count("*").alias("n_edges"), F.sum("n_links").alias("n_links")
+        ).collect()[0]
+        if deg_row["n_nodes"] == 0:
+            return spark.createDataFrame(
+                [(0, 0, 0.0, 0, 0, 0, 0.0, 0, 0.0)],
+                "n_nodes long, n_edges long, n_links double, n_sinks long, "
+                "n_sources long, max_in_deg long, reciprocity double, "
+                "n_components long, giant_share double",
+            )
+        pairs = e.select("src", "dst").distinct().persist()
+        try:
+            n_pairs = pairs.count()
+            n_recip = pairs.join(
+                pairs.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+                ["src", "dst"],
+            ).count()
+        finally:
+            pairs.unpersist()
+        comp = (
+            components_df
+            if components_df is not None
+            else components(
+                e, max_iters=max_iters, checkpoint_dir=checkpoint_dir
+            )
+        )
+        comp_row = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("_sz"))
+            .agg(
+                F.count("*").alias("n_components"),
+                F.max("_sz").alias("_giant"),
+            )
+            .collect()[0]
+        )
+    finally:
+        e.unpersist()
+    n_nodes = deg_row["n_nodes"]
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                edge_row["n_edges"],
+                float(edge_row["n_links"] or 0.0),
+                deg_row["n_sinks"],
+                deg_row["n_sources"],
+                deg_row["max_in_deg"],
+                (n_recip / n_pairs) if n_pairs else 0.0,
+                comp_row["n_components"] or 0,
+                (comp_row["_giant"] / n_nodes) if n_nodes else 0.0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_links double, n_sinks long, "
+        "n_sources long, max_in_deg long, reciprocity double, "
+        "n_components long, giant_share double",
     )
 
 
@@ -545,9 +968,11 @@ def pagerank_py(
     max_iter: int = 200,
     tol: float = 1e-12,
     weighted: bool = False,
+    teleport: dict[str, float] | None = None,
 ) -> dict[str, float]:
-    """Dense numpy twin — same damping/teleport/dangling math, driver-side,
-    for differential tests on small graphs."""
+    """Dense numpy twin — same damping/teleport/dangling math (including
+    the personalized-restart vector), driver-side, for differential tests
+    on small graphs."""
     import numpy as np
 
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
@@ -563,12 +988,37 @@ def pagerank_py(
         out_w[idx[s]] += ww
     nz = out_w > 0
     M[:, nz] /= out_w[nz]
-    r = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.array([float(teleport.get(v, 0.0)) for v in nodes])
+        total = t.sum()
+        if total <= 0.0:
+            raise ValueError("teleport carries no positive weight on any node")
+        t /= total
+    r = t.copy()
     for _ in range(max_iter):
         dangling = r[~nz].sum()
-        new = (1 - damping) / n + damping * (M @ r + dangling / n)
+        new = ((1 - damping) + damping * dangling) * t + damping * (M @ r)
         if np.abs(new - r).sum() < tol:
             r = new
             break
         r = new
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """TrustRank: :func:`pagerank` personalized on a trusted seed set.
+    ``seeds`` is a one-column ``(node)`` DataFrame (extra columns
+    ignored); each seed gets uniform restart weight. Nodes with no
+    forward path from any seed rank exactly 0 — ranking a crawl's hosts
+    by trustrank/pagerank RATIO is the classic link-spam screen: a link
+    farm inflates its pagerank but cannot manufacture trust inflow."""
+    weights = seeds.select(
+        F.col("node").cast("string").alias("node"), F.lit(1.0).alias("weight")
+    ).distinct()
+    return pagerank(edges, teleport_weights=weights, **kwargs)

@@ -453,6 +453,77 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
+def ranked_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    ranks: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+    rank_key: str = "host",
+) -> DataFrame:
+    """Authority-blended search: BM25 relevance × link-graph authority —
+    top-``k`` ``(id, score, bm25, rank)``. ``ranks`` is a ``(node, rank)``
+    table (:func:`logagg.linkgraph.pagerank` output); ``rank_key="host"``
+    (default) keys it by the lowercased host of each hit's url-id,
+    ``"id"`` joins page-level ranks directly.
+
+    Blend: ``score = bm25 · (1 + boost · ln(1 + rank/mean_rank))`` —
+    multiplicative, so no-match stays no-match; rank-absent ids keep
+    factor 1 (no authority evidence ≠ demoted); ``mean_rank`` (one scalar
+    aggregate over the host-sized rank table) makes ``boost``
+    corpus-size-independent — rank/mean is "times average authority",
+    not an absolute probability that shrinks as the graph grows.
+
+    Plan shape: the query-bounded BM25 slice (never the corpus) joins the
+    BROADCAST rank table after the score aggregation, then TakeOrdered
+    top-k. Total order: blended score desc, id asc."""
+    if rank_key not in ("host", "id"):
+        raise ValueError(f"rank_key must be 'host' or 'id', got {rank_key!r}")
+    terms = sorted(set(search_tokens_py(query)))
+    scored = _scores(
+        spark, index_dir, terms, _tombstones(spark, index_dir), k1=k1, b=b
+    )
+    if scored is None:
+        return spark.createDataFrame(
+            [], "id string, score double, bm25 double, rank double"
+        )
+    mean_rank = ranks.agg(F.avg("rank")).collect()[0][0] or 0.0
+    r = ranks.select(
+        F.lower(F.col("node").cast("string")).alias("_rk"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+    key = (
+        F.lower(F.expr("try_parse_url(id, 'HOST')"))
+        if rank_key == "host"
+        else F.lower(F.col("id"))
+    )
+    out = (
+        scored.withColumn("_rk", key)
+        .join(F.broadcast(r), "_rk", "left")
+        .select(
+            "id",
+            F.col("score").alias("bm25"),
+            F.coalesce("rank", F.lit(0.0)).alias("rank"),
+        )
+    )
+    factor = (
+        F.lit(1.0) + F.lit(boost) * F.log1p(F.col("rank") / F.lit(mean_rank))
+        if mean_rank > 0.0
+        else F.lit(1.0)
+    )
+    return (
+        out.select(
+            "id", (F.col("bm25") * factor).alias("score"), "bm25", "rank"
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def _phrase_candidates(
     spark: SparkSession, index_dir: str, phrase: list[str], tomb: DataFrame | None
 ) -> DataFrame:
@@ -650,6 +721,38 @@ def bm25_search_py(
     scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+def ranked_search_py(
+    docs: dict[str, str],
+    query: str,
+    ranks: dict[str, float],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+    rank_key: str = "host",
+) -> list[tuple[str, float]]:
+    """Driver-side twin of :func:`ranked_search` — same blend formula,
+    host extraction via ``urlparse`` (tests use clean urls where the Java
+    and Python host parsers agree)."""
+    from urllib.parse import urlparse
+
+    terms = sorted(set(search_tokens_py(query)))
+    scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
+    mean = sum(ranks.values()) / len(ranks) if ranks else 0.0
+    lowered = {str(n).lower(): float(r) for n, r in ranks.items()}
+    out = {}
+    for id_, s in scores.items():
+        if rank_key == "host":
+            key = (urlparse(id_).hostname or "").lower()
+        else:
+            key = id_.lower()
+        r = lowered.get(key, 0.0)
+        f = 1.0 + boost * math.log1p(r / mean) if mean > 0.0 else 1.0
+        out[id_] = s * f
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
 def phrase_match_py(tokens: list[str], phrase: list[str]) -> bool:

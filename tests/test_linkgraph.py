@@ -259,6 +259,187 @@ def test_pagerank_checkpoints_stay_in_base_dir(spark, toy_edges, monkeypatch, tm
     assert leaked == set()
 
 
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hits_fixed_budget_matches_twin(spark, toy_edges, weighted):
+    """Step-exact differential: the same fixed iteration budget must land
+    Spark and the dense numpy twin on the same (hub, authority) state —
+    a stronger check than comparing two independently-converged runs."""
+    sc = spark.sparkContext._jsc.sc()
+    n_persisted_before = sc.getPersistentRDDs().size()
+    budget = 12
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in linkgraph.hits(
+            toy_edges,
+            tol=0.0,
+            max_iter=budget,
+            weighted=weighted,
+            on_max_iter="return",
+        ).collect()
+    }
+    rows = [
+        (r["src"], r["dst"], float(r["n_links"])) for r in toy_edges.collect()
+    ]
+    want = linkgraph.hits_py(rows, weighted=weighted, max_iter=budget, tol=0.0)
+    assert set(got) == set(want)
+    for node, (wh, wa) in want.items():
+        gh, ga = got[node]
+        assert gh == pytest.approx(wh, abs=1e-9), node
+        assert ga == pytest.approx(wa, abs=1e-9), node
+    # structure: d.com is a pure sink → zero hub; a.com cites b,c → hub
+    assert got["d.com"][0] == 0.0
+    assert got["a.com"][0] > 0.0
+    # no persisted frames leak past the call
+    assert sc.getPersistentRDDs().size() == n_persisted_before
+
+
+def test_hits_converges_on_star_and_max_iter_contract(spark):
+    # hub h cites three leaves: fixpoint reached in ~2 iterations exactly
+    # (hub=1, authorities uniform 1/sqrt(3))
+    edges = spark.createDataFrame(
+        [("h.com", "a.com", 1), ("h.com", "b.com", 1), ("h.com", "c.com", 1)],
+        "src string, dst string, n_links long",
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in linkgraph.hits(edges, tol=1e-10, max_iter=10).collect()
+    }
+    import math
+
+    third = 1.0 / math.sqrt(3.0)
+    assert got["h.com"][0] == pytest.approx(1.0)
+    assert got["h.com"][1] == 0.0
+    for leaf in ("a.com", "b.com", "c.com"):
+        assert got[leaf][1] == pytest.approx(third)
+        assert got[leaf][0] == 0.0
+    # audit mode refuses a budget too small to converge
+    with pytest.raises(RuntimeError, match="did not converge"):
+        linkgraph.hits(edges, max_iter=1, tol=0.0)
+    out = linkgraph.hits(edges, max_iter=1, tol=0.0, on_max_iter="return")
+    assert out.count() == 4  # fixed-budget mode still returns all nodes
+
+
+def test_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("y", "x"), ("x", "y"), ("z", "y")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in linkgraph.components(edges).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",   # weakly connected via b
+        "x": "x", "y": "x", "z": "x",
+    }
+
+
+def test_personalized_pagerank_matches_twin(spark, toy_edges):
+    # restart biased onto a.com (weight 3) and b.com (weight 1)
+    weights = spark.createDataFrame(
+        [("a.com", 3.0), ("b.com", 1.0), ("not-in-graph.com", 9.0)],
+        "node string, weight double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            toy_edges, tol=1e-10, max_iter=200, teleport_weights=weights
+        ).collect()
+    }
+    want = linkgraph.pagerank_py(
+        _edge_tuples(toy_edges), teleport={"a.com": 3.0, "b.com": 1.0}
+    )
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-8), node
+    # off-graph weight is ignored, not redistributed as rank
+    assert "not-in-graph.com" not in got
+
+
+def test_trustrank_spam_screen(spark):
+    # trusted cluster t1<->t2 -> good; spam farm s1<->s2 -> good (the farm
+    # links AT a target to inflate it, nothing links at the farm)
+    edges = spark.createDataFrame(
+        [
+            ("t1", "t2", 1), ("t2", "t1", 1), ("t1", "good", 1),
+            ("s1", "s2", 1), ("s2", "s1", 1), ("s1", "good", 1),
+        ],
+        "src string, dst string, n_links long",
+    )
+    seeds = spark.createDataFrame([("t1",)], "node string")
+    # the 2-cycles damp at only 0.85/iter — full convergence needs ~150
+    # iterations, so compare STEP-EXACT at a fixed budget instead (the
+    # spam-screen zeros and the cluster symmetry hold at every step)
+    budget = 12
+    plain = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            edges, tol=0.0, max_iter=budget, on_max_iter="return"
+        ).collect()
+    }
+    trust = {
+        r["node"]: r["rank"]
+        for r in linkgraph.trustrank(
+            edges, seeds, tol=0.0, max_iter=budget, on_max_iter="return"
+        ).collect()
+    }
+    # plain pagerank cannot separate the farm from the trusted cluster…
+    assert plain["s1"] == pytest.approx(plain["t1"], abs=1e-9)
+    # …trustrank zeroes every node with no forward path from the seeds
+    assert trust["s1"] == 0.0 and trust["s2"] == 0.0
+    assert trust["t1"] > 0.0 and trust["good"] > 0.0
+    assert abs(sum(trust.values()) - 1.0) < 1e-9
+    # twin agrees step-exactly at the same budget
+    want = linkgraph.pagerank_py(
+        [(r["src"], r["dst"], 1.0) for r in edges.collect()],
+        teleport={"t1": 1.0},
+        max_iter=budget,
+        tol=0.0,
+    )
+    for node in want:
+        assert trust[node] == pytest.approx(want[node], abs=1e-9), node
+
+
+def test_teleport_weights_without_graph_overlap_raise(spark, toy_edges):
+    weights = spark.createDataFrame(
+        [("nowhere.com", 1.0)], "node string, weight double"
+    )
+    with pytest.raises(ValueError, match="no positive weight"):
+        linkgraph.pagerank(toy_edges, teleport_weights=weights)
+
+
+def test_graph_health_datasheet(spark, toy_edges):
+    # toy host graph: a->b(2), a->c, b->c, c->a, c->d — one weak component
+    row = linkgraph.graph_health(toy_edges).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 5
+    assert row["n_links"] == 6.0          # a->b carries weight 2
+    assert row["n_sinks"] == 1            # d has no out-edges
+    assert row["n_sources"] == 0          # every node is cited
+    assert row["max_in_deg"] == 2         # c cited by a and b; a by c only
+    # a->c + c->a is the only reciprocal pair: 2 of 5 distinct edges
+    assert row["reciprocity"] == pytest.approx(2 / 5)
+    assert row["n_components"] == 1
+    assert row["giant_share"] == pytest.approx(1.0)
+
+
+def test_graph_health_two_islands_and_empty(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y")], "src string, dst string"
+    )
+    row = linkgraph.graph_health(edges).collect()[0]
+    assert row["n_components"] == 2
+    assert row["giant_share"] == pytest.approx(0.5)
+    assert row["reciprocity"] == pytest.approx(2 / 3)
+    assert row["n_sources"] == 1          # x
+    assert row["n_sinks"] == 1            # y
+    empty = linkgraph.graph_health(
+        spark.createDataFrame([], "src string, dst string")
+    ).collect()[0]
+    assert empty["n_nodes"] == 0 and empty["giant_share"] == 0.0
+
+
 def test_degree_stats(spark, toy_edges):
     got = {r["node"]: (r["out_deg"], r["out_links"], r["in_deg"], r["in_links"])
            for r in linkgraph.degree_stats(toy_edges).collect()}

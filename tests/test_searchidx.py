@@ -372,3 +372,83 @@ def test_bm25_corpus_scale(spark, tmp_path):
     assert [i for i, _ in got] == [i for i, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-9)
+
+
+URL_CORPUS = {
+    "http://big.com/a": "spark shuffle tuning guide",
+    "http://tiny.com/a": "spark shuffle tuning guide",  # byte-identical text
+    "http://big.com/b": "spark partitions overview and shuffle notes",
+    "http://tiny.com/b": "unrelated cooking recipes",
+    "not-a-url": "spark shuffle trivia",  # no host → factor 1
+}
+URL_RANKS = {"big.com": 0.7, "tiny.com": 0.1, "other.com": 0.2}
+
+
+def test_ranked_search_authority_blend(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        list(URL_CORPUS.items()), "id string, text string"
+    )
+    searchidx.build_index(docs, idx, num_buckets=8)
+    ranks = spark.createDataFrame(
+        list(URL_RANKS.items()), "node string, rank double"
+    )
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.ranked_search(
+            spark, idx, "spark shuffle", ranks, k=5
+        ).collect()
+    ]
+    want = searchidx.ranked_search_py(URL_CORPUS, "spark shuffle", URL_RANKS, k=5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    # identical text ties in plain BM25 — the blend separates by authority
+    plain = {
+        r["id"]: r["score"]
+        for r in searchidx.bm25_search(spark, idx, "spark shuffle", k=5).collect()
+    }
+    assert plain["http://big.com/a"] == pytest.approx(
+        plain["http://tiny.com/a"], rel=1e-12
+    )
+    blended = dict(got)
+    assert blended["http://big.com/a"] > blended["http://tiny.com/a"]
+    # host-less id keeps factor exactly 1 (its bm25 score unchanged)
+    assert blended["not-a-url"] == pytest.approx(plain["not-a-url"], rel=1e-12)
+    # boost=0 degenerates to plain BM25 scores
+    zero = {
+        r["id"]: r["score"]
+        for r in searchidx.ranked_search(
+            spark, idx, "spark shuffle", ranks, k=5, boost=0.0
+        ).collect()
+    }
+    for i, s in plain.items():
+        assert zero[i] == pytest.approx(s, rel=1e-12)
+
+
+def test_ranked_search_by_id_key(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        list(URL_CORPUS.items()), "id string, text string"
+    )
+    searchidx.build_index(docs, idx, num_buckets=8)
+    page_ranks = {"http://tiny.com/a": 0.9, "http://big.com/a": 0.05}
+    ranks = spark.createDataFrame(
+        list(page_ranks.items()), "node string, rank double"
+    )
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.ranked_search(
+            spark, idx, "spark shuffle", ranks, k=5, rank_key="id"
+        ).collect()
+    ]
+    want = searchidx.ranked_search_py(
+        URL_CORPUS, "spark shuffle", page_ranks, k=5, rank_key="id"
+    )
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    blended = dict(got)
+    assert blended["http://tiny.com/a"] > blended["http://big.com/a"]
+    with pytest.raises(ValueError, match="rank_key"):
+        searchidx.ranked_search(spark, idx, "spark", ranks, rank_key="nope")

@@ -269,6 +269,27 @@ def search_graph_plan_contract(spark) -> list[str]:
             failures.append("phrase_search: term IN-list not pushed to the scan")
         q3.collect()
 
+        # authority blend: the rank join must broadcast (never shuffle the
+        # query-bounded score slice against a host table) and top-k must
+        # stay TakeOrdered; bucket pruning survives the extra join
+        ranks = spark.createDataFrame(
+            [(f"h{i}.com", 0.1 * (i + 1)) for i in range(4)],
+            "node string, rank double",
+        )
+        q4 = searchidx.ranked_search(spark, idx, "term1 things", ranks, k=5)
+        plan4 = q4._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in plan4:
+            failures.append("ranked_search: rank join is not broadcast")
+        if "SortMergeJoin" in plan4 or "ShuffledHashJoin" in plan4:
+            failures.append(
+                "ranked_search: a join shuffles (rank table must broadcast)"
+            )
+        if "TakeOrderedAndProject" not in plan4:
+            failures.append("ranked_search: top-k is not TakeOrdered")
+        if not re.search(r"PartitionFilters: \[.*bucket", plan4):
+            failures.append("ranked_search: bucket pruning lost")
+        q4.collect()
+
     links = spark.createDataFrame(
         [(f"http://h{i % 4}.com/{i}", f"http://t{i % 5}.com/", "anchor text")
          for i in range(40)],
