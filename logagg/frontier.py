@@ -444,3 +444,125 @@ def frontier_increment(
         f"{seen_dir}/urls"
     )
     return fresh.drop("_canon")
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+def resolve_redirects_py(
+    redirects: list[tuple[str, str]], *, max_hops: int = 20
+) -> dict[str, tuple[str | None, int | None, bool]]:
+    """Driver-side twin of :func:`resolve_redirects` —
+    ``{src: (final, hops, resolved)}``; a chain is resolved iff a
+    non-redirecting terminal is reached within ``max_hops`` hops (the
+    hop bound also cuts redirect loops, exactly as a browser gives up)."""
+    m: dict[str, str] = {}
+    for s, d in redirects:
+        if s is None or d is None:
+            continue
+        m[s] = d if s not in m else min(m[s], d)
+    out: dict[str, tuple[str | None, int | None, bool]] = {}
+    for s in m:
+        cur, hops = m[s], 1
+        while cur in m and hops <= max_hops:
+            cur = m[cur]
+            hops += 1
+        if cur not in m and hops <= max_hops:
+            out[s] = (cur, hops, True)
+        else:
+            out[s] = (None, None, False)
+    return out
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Resolve every redirect source to its terminal url —
+    ``(url, final, hops, resolved)``, one row per distinct redirect
+    source. ``final``/``hops`` are NULL and ``resolved`` false when no
+    non-redirecting terminal is reached within ``max_hops`` (redirect
+    loop, chain into a loop, or an over-long chain — the browser
+    give-up contract, matched exactly by :func:`resolve_redirects_py`).
+    A source captured with several targets keeps the lexicographically
+    smallest (duplicate-capture tiebreak, deterministic).
+
+    The crawl-canonicalization step BEFORE the seen-set/link graph: a
+    url that 301s is an alias, and counting it as a page inflates host
+    footprints and splits anchor mass across aliases.
+
+    Scale shape: pointer doubling — ``⌈log₂ max_hops⌉ + 1`` rounds of
+    the map self-joined on its own pointer column, so a 20-hop bound
+    costs 6 hash joins on the (redirect-table-sized, not corpus-sized)
+    map; hop counts compose additively through each squaring. Each round
+    persists and unpersists its predecessor — lineage depth stays ≤ the
+    round count, so no parquet checkpoint is needed (contrast
+    :func:`linkgraph.pagerank`, whose iteration count is unbounded).
+    ``materialize="path"`` + ``out_path`` lands the (redirect-table-
+    sized) result in parquet instead of the driver — the corpus-scale
+    mode, same contract as the dedup pair ops."""
+    import math as _math
+
+    if materialize not in ("local", "path"):
+        raise ValueError(
+            f"materialize must be 'local' or 'path', got {materialize!r}"
+        )
+    if materialize == "path" and not out_path:
+        raise ValueError("materialize='path' requires out_path")
+
+    m = (
+        redirects.select(
+            F.col(src).cast("string").alias("url"),
+            F.col(dst).cast("string").alias("_p"),
+        )
+        .filter(F.col("url").isNotNull() & F.col("_p").isNotNull())
+        .groupBy("url")
+        .agg(F.min("_p").alias("_p"))
+        .persist()
+    )
+    keys = m.select(F.col("url").alias("_k"))
+    cur = m.select("url", "_p", F.lit(1).alias("hops"))
+    rounds = max(1, int(_math.ceil(_math.log2(max(2, max_hops)))) + 1)
+    prev = None
+    for _ in range(rounds):
+        nxt = cur.select(
+            F.col("url").alias("_u2"),
+            F.col("_p").alias("_p2"),
+            F.col("hops").alias("_h2"),
+        )
+        cur = (
+            cur.join(nxt, cur["_p"] == nxt["_u2"], "left")
+            .select(
+                "url",
+                F.coalesce("_p2", "_p").alias("_p"),
+                (F.col("hops") + F.coalesce("_h2", F.lit(0))).alias("hops"),
+            )
+            .persist()
+        )
+        cur.count()  # materialize before dropping the predecessor's cache
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+    done = F.col("_k").isNull() & (F.col("hops") <= max_hops)
+    out = (
+        cur.join(keys, cur["_p"] == keys["_k"], "left")
+        .select(
+            "url",
+            F.when(done, F.col("_p")).alias("final"),
+            F.when(done, F.col("hops")).alias("hops"),
+            done.alias("resolved"),
+        )
+    )
+    from logagg import util
+
+    res = util.materialize(out, mode=materialize, path=out_path)
+    if prev is not None:
+        prev.unpersist()
+    m.unpersist()
+    return res

@@ -257,9 +257,20 @@ def pagerank(
     out_path: str | None = None,
     on_max_iter: str = "raise",
     teleport_weights: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over ``(src, dst[, n_links])`` →
     ``(node, rank)`` summing to 1.
+
+    ``init_ranks`` — optional ``(node, rank)`` DataFrame — WARM-STARTS
+    the iteration from a previous run's ranks instead of the teleport
+    vector. The fixpoint is unique for damping < 1, so the answer is
+    identical; only the iteration count drops — THE continuous-crawl
+    mode: after a batch of new edges lands, yesterday's ranks are a few
+    steps from today's fixpoint instead of ~a hundred. Nodes absent from
+    the frame (newly discovered pages) start at 1/n; the vector is
+    renormalized to sum 1 (one scalar aggregate), so stale or partial
+    rank tables are safe inputs.
 
     ``teleport_weights`` — optional ``(node, weight)`` DataFrame —
     switches to PERSONALIZED PageRank: the random surfer restarts at
@@ -397,7 +408,28 @@ def pagerank(
     else:
         tnodes = nodes.select("node", F.lit(1.0 / n).alias("t")).persist()
 
-    ranks = cut(tnodes.select("node", F.col("t").alias("rank")))
+    if init_ranks is not None:
+        ir = init_ranks.select(
+            F.col("node").cast("string").alias("node"),
+            F.col("rank").cast("double").alias("_ir"),
+        )
+        r0 = nodes.join(ir, "node", "left").select(
+            "node", F.coalesce("_ir", F.lit(1.0 / n)).alias("rank")
+        )
+        r_total = r0.agg(F.sum("rank")).collect()[0][0] or 0.0
+        if r_total <= 0.0:
+            e.unpersist()
+            nodes.unpersist()
+            tnodes.unpersist()
+            if owns_tmp:
+                shutil.rmtree(base, ignore_errors=True)
+            raise ValueError(
+                "init_ranks carries no positive mass on any graph node — "
+                "cannot warm-start from it"
+            )
+        ranks = cut(r0.select("node", (F.col("rank") / r_total).alias("rank")))
+    else:
+        ranks = cut(tnodes.select("node", F.col("t").alias("rank")))
     # initial dangling mass (one scalar job; subsequent iterations fold it
     # into the delta aggregate — ONE driver round-trip per iteration)
     dangling = (

@@ -305,3 +305,49 @@ def test_sitemap_to_frontier_chain(spark, rules, tmp_path):
     # /private/x denied for logagg by h1's rules; /ok survives
     assert list(sched["url"]) == ["http://h1.example.com/ok"]
     assert list(sched["slot"]) == [1]
+
+
+def test_resolve_redirects_chains_loops_dups(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "t"),   # 3-hop chain to terminal t
+        ("p", "q"), ("q", "p"),               # redirect loop
+        ("x", "p"),                           # chain INTO the loop
+        ("dup", "z2"), ("dup", "z1"),         # duplicate capture → min dst
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: (r["final"], r["hops"], r["resolved"])
+        for r in frontier.resolve_redirects(df).collect()
+    }
+    assert got == frontier.resolve_redirects_py(edges)
+    assert got["a"] == ("t", 3, True)
+    assert got["b"] == ("t", 2, True)
+    assert got["p"] == (None, None, False)
+    assert got["x"] == (None, None, False)
+    assert got["dup"] == ("z1", 1, True)
+    assert "t" not in got  # terminals are targets, not sources
+
+
+def test_resolve_redirects_hop_bound_and_path_mode(spark, tmp_path):
+    # 25-hop chain n0→…→n25: the give-up bound cuts it exactly like the twin
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(25)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for bound in (20, 32):
+        got = {
+            r["url"]: (r["final"], r["hops"], r["resolved"])
+            for r in frontier.resolve_redirects(df, max_hops=bound).collect()
+        }
+        assert got == frontier.resolve_redirects_py(edges, max_hops=bound)
+    assert got["n00"] == ("n25", 25, True)        # bound 32 resolves the head
+    short = {
+        r["url"]: r["resolved"]
+        for r in frontier.resolve_redirects(df, max_hops=20).collect()
+    }
+    assert short["n00"] is False and short["n05"] is True  # 20 hops exactly
+    # path mode lands the table without a driver round-trip
+    out = str(tmp_path / "resolved")
+    frontier.resolve_redirects(df, materialize="path", out_path=out)
+    back = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert back == {s for s, _ in edges}
+    with pytest.raises(ValueError, match="out_path"):
+        frontier.resolve_redirects(df, materialize="path")

@@ -409,6 +409,43 @@ def test_teleport_weights_without_graph_overlap_raise(spark, toy_edges):
         linkgraph.pagerank(toy_edges, teleport_weights=weights)
 
 
+def test_pagerank_warm_start(spark, toy_edges):
+    cold = linkgraph.pagerank(toy_edges, tol=1e-10, max_iter=200)
+    # warm-start from converged ranks: a 2-iteration budget suffices…
+    warm = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            toy_edges, tol=1e-8, max_iter=2, init_ranks=cold
+        ).collect()
+    }
+    c = {r["node"]: r["rank"] for r in cold.collect()}
+    for n in c:
+        assert warm[n] == pytest.approx(c[n], abs=1e-7), n
+    # …while a cold start with the same budget cannot converge — the
+    # warm start genuinely skipped the iteration work
+    with pytest.raises(RuntimeError, match="did not converge"):
+        linkgraph.pagerank(toy_edges, tol=1e-8, max_iter=2)
+    # stale/partial init is renormalized, absent nodes seeded at 1/n:
+    # same fixpoint as cold (uniqueness), just started elsewhere
+    stale = spark.createDataFrame(
+        [("a.com", 80.0), ("b.com", 20.0)], "node string, rank double"
+    )
+    redo = {
+        r["node"]: r["rank"]
+        for r in linkgraph.pagerank(
+            toy_edges, tol=1e-10, max_iter=200, init_ranks=stale
+        ).collect()
+    }
+    for n in c:
+        assert redo[n] == pytest.approx(c[n], abs=1e-8), n
+    # an all-zero init vector is refused
+    zero = spark.createDataFrame(
+        [(n, 0.0) for n in c], "node string, rank double"
+    )
+    with pytest.raises(ValueError, match="no positive mass"):
+        linkgraph.pagerank(toy_edges, init_ranks=zero)
+
+
 def test_graph_health_datasheet(spark, toy_edges):
     # toy host graph: a->b(2), a->c, b->c, c->a, c->d — one weak component
     row = linkgraph.graph_health(toy_edges).collect()[0]
