@@ -1054,3 +1054,112 @@ def trustrank(
         F.col("node").cast("string").alias("node"), F.lit(1.0).alias("weight")
     ).distinct()
     return pagerank(edges, teleport_weights=weights, **kwargs)
+
+
+def cocitation(
+    edges: DataFrame,
+    *,
+    min_common: int = 2,
+    max_out: int = 256,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973 — public): two pages are
+    related when many sources cite BOTH → ``(a, b, n_common, jaccard)``
+    with ``a < b``, ``jaccard`` = |citers(a) ∩ citers(b)| / |∪|. The
+    related-pages / duplicate-mirror signal that needs no content:
+    mirrors and translations co-cite even when their text diverges.
+
+    Sources with more than ``max_out`` distinct out-links are dropped
+    FIRST (a directory page citing thousands of targets contributes
+    quadratic pairs and near-zero signal — the same postings cut the
+    shingle-pair dedup applies); all counts, including the Jaccard
+    denominators, are computed on the filtered graph so the twin can
+    reproduce them exactly. Pair generation is a self-join of the
+    filtered edge list on ``src`` with ``dst_a < dst_b`` — per-source
+    output is bounded by ``max_out``²/2, and the join co-locates on the
+    already-partitioned source key (one shuffle), then one partial+final
+    count per pair. ``materialize="path"`` for corpus-scale pair lists
+    (same contract as the dedup pair ops)."""
+    if materialize not in ("local", "path"):
+        raise ValueError(
+            f"materialize must be 'local' or 'path', got {materialize!r}"
+        )
+    if materialize == "path" and not out_path:
+        raise ValueError("materialize='path' requires out_path")
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("_od"))
+    e = (
+        e.join(deg.filter(F.col("_od") <= max_out).select("src"), "src")
+        .repartition("src")
+        .persist()
+    )
+    try:
+        pairs = (
+            e.alias("l")
+            .join(
+                e.alias("r"),
+                (F.col("l.src") == F.col("r.src"))
+                & (F.col("l.dst") < F.col("r.dst")),
+            )
+            .groupBy(
+                F.col("l.dst").alias("a"), F.col("r.dst").alias("b")
+            )
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_common)
+        )
+        in_deg = e.groupBy(F.col("dst").alias("_n")).agg(
+            F.count("*").alias("_ind")
+        )
+        out = (
+            pairs.join(in_deg.withColumnRenamed("_n", "a"), "a")
+            .withColumnRenamed("_ind", "_ia")
+            .join(in_deg.withColumnRenamed("_n", "b"), "b")
+            .withColumnRenamed("_ind", "_ib")
+            .select(
+                "a",
+                "b",
+                "n_common",
+                (
+                    F.col("n_common")
+                    / (F.col("_ia") + F.col("_ib") - F.col("n_common"))
+                ).alias("jaccard"),
+            )
+        )
+        return util.materialize(out, mode=materialize, path=out_path)
+    finally:
+        e.unpersist()
+
+
+def cocitation_py(
+    edges: list[tuple[str, str]], *, min_common: int = 2, max_out: int = 256
+) -> dict[tuple[str, str], tuple[int, float]]:
+    """Driver-side twin — ``{(a, b): (n_common, jaccard)}`` with the
+    same high-out-degree cut and filtered-graph denominators."""
+    from collections import defaultdict
+
+    outs: dict[str, set] = defaultdict(set)
+    for s, d in edges:
+        if s is not None and d is not None:
+            outs[s].add(d)
+    citers: dict[str, set] = defaultdict(set)
+    for s, ds in outs.items():
+        if len(ds) <= max_out:
+            for d in ds:
+                citers[d].add(s)
+    targets = sorted(citers)
+    out = {}
+    for i, a in enumerate(targets):
+        for b in targets[i + 1 :]:
+            common = len(citers[a] & citers[b])
+            if common >= min_common:
+                union = len(citers[a] | citers[b])
+                out[(a, b)] = (common, common / union)
+    return out

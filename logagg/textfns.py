@@ -449,3 +449,34 @@ def main_content_py(
         if len(toks) >= min_tokens and ld <= max_link_density:
             kept.append(text)
     return "\n\n".join(kept), len(blocks), len(kept)
+
+
+def collocations_py(
+    texts: list[str], *, min_count: int = 5, top_k: int = 100
+) -> list[tuple[str, str, int, float]]:
+    """Driver-side twin of :func:`logagg.textstats.collocations` —
+    PMI-ranked adjacent word pairs over the pinned token contract.
+    Returns ``[(w1, w2, n_pair, pmi)]``, pmi desc then (w1, w2) asc."""
+    import math
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = tokens(t or "")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_bi = sum(bi.values())
+    n_uni = sum(uni.values())
+    out = []
+    for (x, y), c in bi.items():
+        if c < min_count:
+            continue
+        # EXACT expression mirrored by the Spark column — same division
+        # order, so both engines round identically
+        pmi = math.log(
+            (c / n_bi) / ((uni[x] / n_uni) * (uni[y] / n_uni))
+        )
+        out.append((x, y, c, pmi))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:top_k]

@@ -541,3 +541,92 @@ def dedup_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .select(F.col("_keep._okey").alias("_okey"), F.col(f"_keep.{url_col}").alias(url_col))
     )
     return tagged.join(keepers, ["_okey", url_col], "left_semi").drop("_okey")
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """PMI-ranked adjacent-word collocations over the corpus —
+    ``(w1, w2, n_pair, pmi)``, top-``top_k`` by pmi desc then (w1, w2)
+    asc, pairs under ``min_count`` dropped (PMI is noise at low counts).
+    The corpus-datasheet companion to :func:`repetition_stats`: high-PMI
+    pairs surface boilerplate phrases and templated navigation a
+    per-document filter can't see, and a healthy natural corpus shows
+    named entities / idioms at the top, not markup fragments.
+
+    ``pmi = ln( (c_xy/N) / ((c_x/M)·(c_y/M)) )`` with N = total bigram
+    positions, M = total tokens — the exact expression (division order
+    included) mirrored by the :func:`logagg.textfns.collocations_py`
+    twin so both engines round identically.
+
+    Plan shape: ONE tokenization of the corpus (persisted array column),
+    an explode+count for unigrams and one for adjacent pairs (both
+    partial+final aggs), two scalar totals to the driver, vocab-sized
+    joins of pair counts to the two unigram legs, TakeOrdered top-k.
+    The bounded result is materialized so every intermediate cache is
+    released before return."""
+    from logagg import util
+
+    toks = docs.select(tokens_col(F.col(text_col)).alias("_t")).persist()
+    try:
+        uni = (
+            toks.select(F.explode("_t").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("_cw"))
+            .persist()
+        )
+        n = F.size(F.col("_t"))
+        pairs = F.zip_with(
+            F.slice(F.col("_t"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("_t"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        bi = (
+            toks.select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("n_pair"))
+            .persist()
+        )
+        m_tokens = uni.agg(F.sum("_cw")).collect()[0][0] or 0
+        n_bigrams = bi.agg(F.sum("n_pair")).collect()[0][0] or 0
+        if n_bigrams == 0:
+            uni.unpersist()
+            bi.unpersist()
+            return docs.sparkSession.createDataFrame(
+                [], "w1 string, w2 string, n_pair long, pmi double"
+            )
+        big_n = F.lit(float(n_bigrams))
+        big_m = F.lit(float(m_tokens))
+        out = (
+            bi.filter(F.col("n_pair") >= min_count)
+            .join(
+                uni.select(F.col("w").alias("w1"), F.col("_cw").alias("_c1")),
+                "w1",
+            )
+            .join(
+                uni.select(F.col("w").alias("w2"), F.col("_cw").alias("_c2")),
+                "w2",
+            )
+            .select(
+                "w1",
+                "w2",
+                "n_pair",
+                F.log(
+                    (F.col("n_pair") / big_n)
+                    / ((F.col("_c1") / big_m) * (F.col("_c2") / big_m))
+                ).alias("pmi"),
+            )
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(top_k)
+        )
+        res = util.materialize_local(out)
+        uni.unpersist()
+        bi.unpersist()
+        return res
+    finally:
+        toks.unpersist()

@@ -531,3 +531,58 @@ def test_pagerank_empty_graph_path_mode(spark, tmp_path):
     got = linkgraph.pagerank(e, materialize="path", out_path=out)
     assert got.count() == 0
     assert spark.read.parquet(out).columns == ["node", "rank"]
+
+
+def test_cocitation_matches_twin(spark):
+    edges = [
+        ("s1", "a"), ("s1", "b"),
+        ("s2", "a"), ("s2", "b"),
+        ("s3", "a"), ("s3", "c"),
+        ("s4", "b"), ("s4", "c"),
+        ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+        ("s1", "a"),  # duplicate capture — must count once
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in linkgraph.cocitation(df, min_common=1).collect()
+    }
+    want = linkgraph.cocitation_py(edges, min_common=1)
+    assert set(got) == set(want)
+    for p, (wc, wj) in want.items():
+        gc, gj = got[p]
+        assert gc == wc, p
+        assert gj == pytest.approx(wj, rel=1e-12), p
+    # a and b share citers s1, s2, hub → the strongest pair
+    assert got[("a", "b")][0] == 3
+    # min_common prunes weak pairs
+    strong = {
+        (r["a"], r["b"])
+        for r in linkgraph.cocitation(df, min_common=3).collect()
+    }
+    assert strong == {("a", "b")}
+
+
+def test_cocitation_max_out_cut_and_path_mode(spark, tmp_path):
+    edges = [
+        ("s1", "a"), ("s1", "b"),
+        ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in linkgraph.cocitation(df, min_common=1, max_out=3).collect()
+    }
+    want = linkgraph.cocitation_py(edges, min_common=1, max_out=3)
+    assert got.keys() == want.keys()
+    # the 4-outlink hub is cut: only s1's (a,b) pair survives, and the
+    # jaccard denominators come from the FILTERED graph (1 citer each)
+    assert got == {("a", "b"): (1, 1.0)}
+    out = str(tmp_path / "pairs")
+    linkgraph.cocitation(df, min_common=1, materialize="path", out_path=out)
+    back = spark.read.parquet(out)
+    assert back.count() == len(
+        linkgraph.cocitation_py(edges, min_common=1)
+    )
+    with pytest.raises(ValueError, match="out_path"):
+        linkgraph.cocitation(df, materialize="path")

@@ -429,3 +429,57 @@ def test_dedup_urls_plan_shape(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "partial_min" in plan
+
+
+# ------------------------------------------------- collocations (PMI)
+
+
+def test_collocations_crafted(spark):
+    texts = [
+        "new york is large",
+        "i love new york",
+        "the city is here",
+        "the city sleeps",
+        "in the night",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi"])
+        for r in textstats.collocations(df, min_count=2, top_k=10).collect()
+    ]
+    want = textfns.collocations_py(texts, min_count=2, top_k=10)
+    assert [(g[0], g[1], g[2]) for g in got] == [(w[0], w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-12)
+    # both pairs occur 2×, but "new"/"york" occur ONLY together while
+    # "the" also appears outside "the city" — perfect association wins
+    assert got[0][:2] == ("new", "york")
+    pmis = {(g[0], g[1]): g[3] for g in got}
+    assert pmis[("new", "york")] > pmis[("the", "city")]
+    # min_count drops singletons entirely
+    assert all(g[2] >= 2 for g in got)
+
+
+def test_collocations_corpus_matches_twin(spark, docs_df):
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi"])
+        for r in textstats.collocations(
+            docs_df, min_count=3, top_k=50
+        ).collect()
+    ]
+    texts = [r["text"] for r in docs_df.select("text").collect()]
+    want = textfns.collocations_py(texts, min_count=3, top_k=50)
+    assert [(g[0], g[1], g[2]) for g in got] == [(w[0], w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-12)
+
+
+def test_collocations_empty_and_leak_free(spark):
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    empty = textstats.collocations(
+        spark.createDataFrame([("",)], "text string")
+    )
+    assert empty.count() == 0
+    assert list(empty.columns) == ["w1", "w2", "n_pair", "pmi"]
+    assert sc.getPersistentRDDs().size() == before
