@@ -566,3 +566,164 @@ def resolve_redirects(
         prev.unpersist()
     m.unpersist()
     return res
+
+
+# ---------------------------------------------------------------------------
+# URL-template mining (crawler-trap detection)
+# ---------------------------------------------------------------------------
+
+# segment classes, tested in order; regexes restricted to character
+# classes + anchors so Java regex and Python `re` agree byte-for-byte
+_SEG_NUM_RE = "^[0-9]+$"
+_SEG_UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+_SEG_HEX_RE = "^[0-9a-fA-F]{8,}$"
+_SEG_MIXED_RE = "[0-9]"
+
+
+def _seg_class_py(seg: str) -> str:
+    if re.match(_SEG_NUM_RE, seg):
+        return "<n>"
+    if re.match(_SEG_UUID_RE, seg):
+        return "<uuid>"
+    if re.match(_SEG_HEX_RE, seg):
+        return "<hex>"
+    if re.search(_SEG_MIXED_RE, seg):
+        return "<mix>"
+    return seg.lower()
+
+
+def url_template_py(url: str) -> str | None:
+    """Twin of the :func:`url_template` column — the generalized shape of
+    a crawl url: lowercased authority, each path segment replaced by its
+    class (``<n>`` all-digits, ``<uuid>``, ``<hex>`` long hex ids,
+    ``<mix>`` digit-bearing, else the literal lowercased segment), query
+    parameter NAMES kept sorted-distinct with values wildcarded. None
+    for urls the shared well-formed-url regex rejects (both engines
+    drop them)."""
+    from logagg.textfns import _URL_SPLIT_RE
+
+    m = _URL_SPLIT_RE.match(url or "")
+    if not m or not m.group(2):
+        return None
+    host = m.group(2).lower()
+    segs = [_seg_class_py(s) for s in m.group(3).split("/") if s]
+    names = sorted(
+        {p.split("=", 1)[0] for p in (m.group(4) or "").split("&") if p}
+    )
+    out = host + "/" + "/".join(segs)
+    if names:
+        out += "?" + "&".join(n + "=*" for n in names)
+    return out
+
+
+def url_template(url: Column) -> Column:
+    """Pure-Catalyst url → template column (see :func:`url_template_py`
+    for the contract). NULL for unparseable urls — template mining is a
+    diagnostic over the well-formed crawl space; junk urls are counted
+    by volume elsewhere (``cap_per_domain``'s junk group)."""
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    segs = F.transform(
+        F.filter(F.split(path, "/"), lambda s: s != ""),
+        lambda s: (
+            F.when(s.rlike(_SEG_NUM_RE), "<n>")
+            .when(s.rlike(_SEG_UUID_RE), "<uuid>")
+            .when(s.rlike(_SEG_HEX_RE), "<hex>")
+            .when(s.rlike(_SEG_MIXED_RE), "<mix>")
+            .otherwise(F.lower(s))
+        ),
+    )
+    names = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(F.split(query, "&"), lambda p: p != ""),
+                lambda p: F.regexp_extract(p, "^([^=]*)", 1),
+            )
+        )
+    )
+    qs = F.array_join(F.transform(names, lambda n: F.concat(n, F.lit("=*"))), "&")
+    tpl = F.concat(
+        auth,
+        F.lit("/"),
+        F.array_join(segs, "/"),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    # try_parse_url(AUTHORITY) parses some scheme-less junk; gate on the
+    # twin's well-formedness regex so both engines drop the same rows
+    well_formed = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]")
+    return F.when(well_formed, tpl)
+
+
+def url_templates(
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    min_pages: int = 100,
+    trap_share: float = 0.2,
+) -> DataFrame:
+    """Mine per-host URL templates and flag crawler-trap candidates —
+    ``(host, template, n_pages, host_pages, share, trap_candidate)``.
+    A template owning ``trap_share`` of a host's distinct urls with at
+    least ``min_pages`` pages is the calendar-page / session-id /
+    faceted-navigation signature: an unbounded generated url space that
+    eats crawl budget without adding content. Feed the flagged templates
+    back into the frontier as disallow patterns (the reference's routing
+    step decides where records go; this decides what not to fetch).
+
+    Scale shape: distinct urls → one map-only template projection (all
+    Catalyst, zero Python) → one partial+final count per (host,
+    template) → host totals are a SECOND aggregation of the (already
+    host×template-sized) counts, joined back on host — the corpus is
+    never shuffled twice and no window touches a whole host's rows."""
+    u = F.col(url_col)
+    tpl = (
+        urls.select(u.cast("string").alias(url_col))
+        .dropDuplicates([url_col])
+        .select(url_template(u).alias("template"))
+        .filter(F.col("template").isNotNull())
+        .withColumn("host", F.split_part(F.col("template"), F.lit("/"), F.lit(1)))
+    )
+    counts = tpl.groupBy("host", "template").agg(F.count("*").alias("n_pages"))
+    totals = counts.groupBy("host").agg(F.sum("n_pages").alias("host_pages"))
+    share = F.col("n_pages") / F.col("host_pages")
+    return (
+        counts.join(totals, "host")
+        .select(
+            "host",
+            "template",
+            "n_pages",
+            "host_pages",
+            share.alias("share"),
+            (
+                (F.col("n_pages") >= min_pages) & (share >= trap_share)
+            ).alias("trap_candidate"),
+        )
+    )
+
+
+def url_templates_py(
+    urls: list[str], *, min_pages: int = 100, trap_share: float = 0.2
+) -> dict[tuple[str, str], tuple[int, int, float, bool]]:
+    """Driver-side twin — ``{(host, template): (n_pages, host_pages,
+    share, trap_candidate)}`` over distinct well-formed urls."""
+    from collections import Counter
+
+    tpls = Counter()
+    for url in set(urls):
+        t = url_template_py(url)
+        if t is not None:
+            tpls[t] += 1
+    host_totals: Counter = Counter()
+    for t, c in tpls.items():
+        host_totals[t.split("/", 1)[0]] += c
+    out = {}
+    for t, c in tpls.items():
+        host = t.split("/", 1)[0]
+        tot = host_totals[host]
+        share = c / tot
+        out[(host, t)] = (c, tot, share, c >= min_pages and share >= trap_share)
+    return out

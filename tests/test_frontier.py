@@ -351,3 +351,89 @@ def test_resolve_redirects_hop_bound_and_path_mode(spark, tmp_path):
     assert back == {s for s, _ in edges}
     with pytest.raises(ValueError, match="out_path"):
         frontier.resolve_redirects(df, materialize="path")
+
+
+# ------------------------------------------------- url-template mining
+
+
+def test_url_template_classes(spark):
+    cases = [
+        ("HTTP://WWW.Ex.COM:8080/A/B?z=1&a=2", "www.ex.com:8080/a/b?a=*&z=*"),
+        ("https://h/p/", "h/p"),
+        ("https://h", "h/"),
+        ("https://h/?x", "h/?x=*"),
+        ("https://h/2024/05/17", "h/<n>/<n>/<n>"),
+        ("https://h/550e8400-e29b-41d4-a716-446655440000", "h/<uuid>"),
+        ("https://h/abcdef0123456789", "h/<hex>"),
+        ("https://h/item-42/view", "h/<mix>/view"),
+        ("https://h//double//slash", "h/double/slash"),
+        ("https://h/a?a=1&a=2&b", "h/a?a=*&b=*"),
+        ("not a url", None),
+        ("nohost://", None),
+        ("relative/path", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["t"]
+        for r in df.select(
+            frontier.url_template(F.col("url")).alias("t")
+        ).collect()
+    ]
+    assert got == [t for _, t in cases]
+    assert [frontier.url_template_py(u) for u, _ in cases] == got
+
+
+def test_url_templates_matches_twin_and_flags_traps(spark):
+    urls = (
+        # calendar trap: 30 distinct urls, ONE template, whole host
+        [
+            f"http://trap.example/cal/2024/{m:02d}/{d:02d}"
+            for m in (1, 2, 3)
+            for d in range(1, 11)
+        ]
+        # session-id item pages: dominant share but under min_pages
+        + [
+            f"https://shop.example/item/ab12cd{i}?sid=deadbeef{i}&page={i}"
+            for i in range(5)
+        ]
+        + ["https://shop.example/about", "https://shop.example/contact"]
+        + [f"http://ids.example/abcdef01{i:08x}" for i in range(3)]
+        + ["https://u.example/550e8400-e29b-41d4-a716-446655440000"]
+        + ["not a url", "nohost://", "relative/path"]
+        + ["http://trap.example/cal/2024/01/01"]  # duplicate — one count
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["template"]): (
+            r["n_pages"],
+            r["host_pages"],
+            r["share"],
+            r["trap_candidate"],
+        )
+        for r in frontier.url_templates(
+            df, min_pages=10, trap_share=0.5
+        ).collect()
+    }
+    want = frontier.url_templates_py(urls, min_pages=10, trap_share=0.5)
+    assert set(got) == set(want)
+    for k, (wc, wt, ws, wf) in want.items():
+        gc, gt, gs, gf = got[k]
+        assert (gc, gt, gf) == (wc, wt, wf), k
+        assert gs == pytest.approx(ws, rel=1e-12), k
+    cal = got[("trap.example", "trap.example/cal/<n>/<n>/<n>")]
+    assert cal == (30, 30, pytest.approx(1.0), True)
+    item = got[
+        ("shop.example", "shop.example/item/<mix>?page=*&sid=*")
+    ]
+    assert item[0] == 5 and item[1] == 7 and item[3] is False  # < min_pages
+    assert ("u.example", "u.example/<uuid>") in got
+    assert got[("ids.example", "ids.example/<hex>")][0] == 3
+    # pure-Catalyst projection: no Python in the plan, partial+final aggs
+    plan = (
+        frontier.url_templates(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
