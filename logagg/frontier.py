@@ -727,3 +727,130 @@ def url_templates_py(
         share = c / tot
         out[(host, t)] = (c, tot, share, c >= min_pages and share >= trap_share)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling: change-rate estimation from fetch history
+# ---------------------------------------------------------------------------
+
+def change_rates(
+    history: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "digest",
+    horizon_days: float = 7.0,
+) -> DataFrame:
+    """Per-url change-rate estimate from a fetch-history table of
+    ``(url, fetch_ts, content_digest)`` observations — the recrawl
+    scheduler's input: ``(url, n_fetches, n_changes, span_s,
+    lambda_day, p_stale, priority)``.
+
+    Estimator (Cho & Garcia-Molina 2003, "Estimating Frequency of
+    Change" — public): with ``n`` observed intervals and ``x`` of them
+    showing a digest change, ``λ̂ = -ln((n - x + 0.5)/(n + 0.5)) /
+    avg_interval`` (the +0.5 regularizer keeps x = n finite), in
+    changes/day. ``p_stale = 1 - e^(-λ̂·horizon_days)`` is the
+    probability the copy is stale ``horizon_days`` after the last
+    fetch; ``priority`` = p_stale with NULL (single fetch, or zero
+    observed span) defaulting to 1.0 — never-validated urls are
+    explored first. A page never seen to change gets λ̂ = 0 exactly.
+
+    Scale shape: exact-duplicate observations collapse map-side, then
+    ONE partial+final aggregate per url builds the (ts, digest)-sorted
+    history array (per-url history is fetch-count-bounded — tiny), and
+    every downstream stat is a Catalyst array expression over it: zero
+    Python, zero windows, one shuffle. The expression text (division
+    order included) is mirrored by :func:`change_rates_py` so both
+    engines round identically."""
+    u = F.col(url_col).cast("string").alias("url")
+    # numeric epoch-seconds stay numeric (a timestamp round-trip would
+    # truncate to microseconds and diverge from the twin's float math);
+    # timestamp/NTZ columns go via cast("timestamp") (pinned-UTC session)
+    ts_type = dict(history.dtypes).get(ts_col, "")
+    if ts_type.startswith("timestamp"):
+        t = F.col(ts_col).cast("timestamp").cast("double").alias("_t")
+    else:
+        t = F.col(ts_col).cast("double").alias("_t")
+    d = F.col(digest_col).cast("string").alias("_d")
+    obs = (
+        history.select(u, t, d)
+        .filter(
+            F.col("url").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_d").isNotNull()
+        )
+    )
+    # collect_set dedupes repeated observations INSIDE the aggregate —
+    # map-side partials included — so the whole history build is one
+    # shuffle (a dropDuplicates first would add a second exchange)
+    hist = obs.groupBy("url").agg(
+        F.array_sort(F.collect_set(F.struct("_t", "_d"))).alias("_h")
+    )
+    n_fetches = F.size("_h")
+    n = n_fetches - F.lit(1)
+    steps = F.zip_with(
+        F.slice("_h", 1, F.greatest(n, F.lit(0))),
+        F.slice(F.col("_h"), 2, F.greatest(n, F.lit(0))),
+        lambda a, b: a["_d"] != b["_d"],
+    )
+    n_changes = F.size(F.filter(steps, lambda x: x))
+    span = (
+        F.element_at("_h", -1)["_t"] - F.element_at("_h", 1)["_t"]
+    )
+    stats = hist.select(
+        "url",
+        n_fetches.alias("n_fetches"),
+        F.when(n >= 1, n_changes).otherwise(F.lit(0)).alias("n_changes"),
+        F.when(n >= 1, span).otherwise(F.lit(0.0)).alias("span_s"),
+    )
+    nn = F.col("n_fetches") - 1
+    x = F.col("n_changes")
+    avg_days = (F.col("span_s") / nn) / F.lit(86400.0)
+    lam = -F.log((nn - x + 0.5) / (nn + 0.5)) / avg_days
+    defined = (nn >= 1) & (F.col("span_s") > 0)
+    lam_col = F.when(defined, lam)
+    p_stale = F.when(
+        defined, 1.0 - F.exp(-lam_col * F.lit(float(horizon_days)))
+    )
+    return stats.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        "span_s",
+        lam_col.alias("lambda_day"),
+        p_stale.alias("p_stale"),
+        F.coalesce(p_stale, F.lit(1.0)).alias("priority"),
+    )
+
+
+def change_rates_py(
+    history: list[tuple[str, float, str]], *, horizon_days: float = 7.0
+) -> dict[str, tuple[int, int, float, float | None, float | None, float]]:
+    """Driver-side twin — ``{url: (n_fetches, n_changes, span_s,
+    lambda_day, p_stale, priority)}`` over distinct observations."""
+    import math
+    from collections import defaultdict
+
+    per: dict[str, set] = defaultdict(set)
+    for url, ts, dig in history:
+        if url is not None and ts is not None and dig is not None:
+            per[url].add((float(ts), dig))
+    out = {}
+    for url, obs in per.items():
+        h = sorted(obs)
+        nf = len(h)
+        n = nf - 1
+        if n >= 1:
+            x = sum(1 for a, b in zip(h, h[1:]) if a[1] != b[1])
+            span = h[-1][0] - h[0][0]
+        else:
+            x, span = 0, 0.0
+        if n >= 1 and span > 0:
+            avg_days = (span / n) / 86400.0
+            lam = -math.log((n - x + 0.5) / (n + 0.5)) / avg_days
+            p = 1.0 - math.exp(-lam * horizon_days)
+            out[url] = (nf, x, span, lam, p, p)
+        else:
+            out[url] = (nf, x, span, None, None, 1.0)
+    return out

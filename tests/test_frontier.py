@@ -437,3 +437,107 @@ def test_url_templates_matches_twin_and_flags_traps(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan
+
+
+# ------------------------------------------------- recrawl change rates
+
+
+def _cr_rows(spark, hist):
+    return spark.createDataFrame(
+        hist, "url string, fetch_ts double, digest string"
+    )
+
+
+def test_change_rates_crafted(spark):
+    day = 86400.0
+    hist = (
+        # A: changes on every one of 4 daily intervals
+        [("a", i * day, f"d{i}") for i in range(5)]
+        # B: fetched 5x, never changes
+        + [("b", i * day, "same") for i in range(5)]
+        # C: single fetch — estimator undefined, explore-first
+        + [("c", 0.0, "x")]
+        # D: two fetches at the SAME instant (zero span) — undefined
+        + [("d", 7.0, "x"), ("d", 7.0, "y")]
+        # duplicate observation collapses
+        + [("a", 0.0, "d0")]
+    )
+    got = {
+        r["url"]: (
+            r["n_fetches"],
+            r["n_changes"],
+            r["span_s"],
+            r["lambda_day"],
+            r["p_stale"],
+            r["priority"],
+        )
+        for r in frontier.change_rates(_cr_rows(spark, hist)).collect()
+    }
+    want = frontier.change_rates_py(hist)
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        assert g[:3] == w[:3], url
+        for gi, wi in zip(g[3:], w[3:]):
+            if wi is None:
+                assert gi is None, url
+            else:
+                assert gi == pytest.approx(wi, rel=1e-12), url
+    # hot page: every interval changed -> high rate, ~certain staleness
+    assert got["a"][1] == 4 and got["a"][4] > 0.99
+    # frozen page: lambda exactly 0, p_stale exactly 0
+    assert got["b"][3] == 0.0 and got["b"][4] == 0.0 and got["b"][5] == 0.0
+    # unknown pages explore first
+    assert got["c"][3] is None and got["c"][5] == 1.0
+    assert got["d"][5] == 1.0
+    # the scheduler orders hot > frozen
+    assert got["a"][5] > got["b"][5]
+
+
+def test_change_rates_random_differential(spark):
+    import random
+
+    rng = random.Random(42)
+    hist = []
+    for i in range(60):
+        url = f"u{i}"
+        t = 0.0
+        dig = rng.randint(0, 3)
+        for _ in range(rng.randint(1, 7)):
+            hist.append((url, t, f"v{dig}"))
+            t += rng.uniform(3600.0, 10 * 86400.0)
+            if rng.random() < 0.4:
+                dig = rng.randint(0, 3)
+    got = {
+        r["url"]: (
+            r["n_fetches"],
+            r["n_changes"],
+            r["span_s"],
+            r["lambda_day"],
+            r["p_stale"],
+            r["priority"],
+        )
+        for r in frontier.change_rates(
+            _cr_rows(spark, hist), horizon_days=3.0
+        ).collect()
+    }
+    want = frontier.change_rates_py(hist, horizon_days=3.0)
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        assert g[0] == w[0] and g[1] == w[1], url
+        assert g[2] == pytest.approx(w[2], rel=1e-12), url
+        for gi, wi in zip(g[3:], w[3:]):
+            if wi is None:
+                assert gi is None, url
+            else:
+                assert gi == pytest.approx(wi, rel=1e-12), url
+    # plan: pure Catalyst, one aggregation shuffle
+    plan = (
+        frontier.change_rates(_cr_rows(spark, hist))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
