@@ -44,7 +44,7 @@ from urllib.parse import urljoin, urlparse
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logagg import util
@@ -1061,6 +1061,7 @@ def cocitation(
     *,
     min_common: int = 2,
     max_out: int = 256,
+    min_jaccard: float = 0.0,
     materialize: str = "local",
     out_path: str | None = None,
 ) -> DataFrame:
@@ -1079,8 +1080,10 @@ def cocitation(
     filtered edge list on ``src`` with ``dst_a < dst_b`` — per-source
     output is bounded by ``max_out``²/2, and the join co-locates on the
     already-partitioned source key (one shuffle), then one partial+final
-    count per pair. ``materialize="path"`` for corpus-scale pair lists
-    (same contract as the dedup pair ops)."""
+    count per pair. ``min_jaccard`` prunes weak pairs BEFORE
+    materialization (the path-mode sink never lands them).
+    ``materialize="path"`` for corpus-scale pair lists (same contract as
+    the dedup pair ops)."""
     if materialize not in ("local", "path"):
         raise ValueError(
             f"materialize must be 'local' or 'path', got {materialize!r}"
@@ -1133,13 +1136,19 @@ def cocitation(
                 ).alias("jaccard"),
             )
         )
+        if min_jaccard > 0.0:
+            out = out.filter(F.col("jaccard") >= min_jaccard)
         return util.materialize(out, mode=materialize, path=out_path)
     finally:
         e.unpersist()
 
 
 def cocitation_py(
-    edges: list[tuple[str, str]], *, min_common: int = 2, max_out: int = 256
+    edges: list[tuple[str, str]],
+    *,
+    min_common: int = 2,
+    max_out: int = 256,
+    min_jaccard: float = 0.0,
 ) -> dict[tuple[str, str], tuple[int, float]]:
     """Driver-side twin — ``{(a, b): (n_common, jaccard)}`` with the
     same high-out-degree cut and filtered-graph denominators."""
@@ -1161,5 +1170,99 @@ def cocitation_py(
             common = len(citers[a] & citers[b])
             if common >= min_common:
                 union = len(citers[a] | citers[b])
-                out[(a, b)] = (common, common / union)
+                if common / union >= min_jaccard:
+                    out[(a, b)] = (common, common / union)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+# ---------------------------------------------------------------------------
+
+def _host_of(url: Column) -> Column:
+    """Lowercased hostname of a well-formed url (NULL otherwise) — the
+    mirror-detection grouping key."""
+    return F.when(
+        url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]"),
+        F.lower(F.try_parse_url(url, F.lit("HOST"))),
+    )
+
+
+def _host_of_py(url: str) -> str | None:
+    """Twin of :func:`_host_of` (well-formed urls)."""
+    from logagg.textfns import _URL_SPLIT_RE
+
+    m = _URL_SPLIT_RE.match(url or "")
+    if not m or not m.group(2):
+        return None
+    host = m.group(2).rsplit("@", 1)[-1].lower()
+    return re.sub(r":[0-9]+$", "", host)
+
+
+def host_mirrors(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    digest_col: str | None = None,
+    min_common: int = 10,
+    min_jaccard: float = 0.5,
+    max_hosts_per_digest: int = 64,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Host pairs serving near-identical content sets — ``(a, b,
+    n_common, jaccard)`` over per-host sets of page content digests
+    (md5 of ``text_col``, or a precomputed ``digest_col``). A mirror /
+    CDN-clone / parked-domain-farm flag: crawl one of the pair, and
+    collapse both hosts' pages in curation before their text ever
+    reaches the shingle kernels.
+
+    Host-pair digest overlap IS co-citation on the bipartite
+    ``digest → host`` edge list, so this is a thin adapter over
+    :func:`cocitation` — one engine, both callers (the
+    ``components``/``dup_clusters`` precedent). The ``max_out`` cut
+    becomes ``max_hosts_per_digest``: a digest served by hundreds of
+    hosts is boilerplate (empty pages, error bodies, parking templates)
+    — quadratic pairs, no mirror signal — and the Jaccard denominators
+    come from the same filtered edge list so the twin reproduces them
+    exactly."""
+    dig = (
+        F.col(digest_col).cast("string")
+        if digest_col
+        else F.md5(F.col(text_col).cast("string").cast("binary"))
+    )
+    edges = pages.select(
+        dig.alias("src"), _host_of(F.col(url_col)).alias("dst")
+    )
+    return cocitation(
+        edges,
+        min_common=min_common,
+        max_out=max_hosts_per_digest,
+        min_jaccard=min_jaccard,
+        materialize=materialize,
+        out_path=out_path,
+    )
+
+
+def host_mirrors_py(
+    pages: list[tuple[str, str]],
+    *,
+    min_common: int = 10,
+    min_jaccard: float = 0.5,
+    max_hosts_per_digest: int = 64,
+) -> dict[tuple[str, str], tuple[int, float]]:
+    """Driver-side twin over ``[(url, text)]``."""
+    import hashlib
+
+    edges = [
+        (hashlib.md5(t.encode()).hexdigest(), _host_of_py(u))
+        for u, t in pages
+        if u is not None and t is not None
+    ]
+    return cocitation_py(
+        edges,
+        min_common=min_common,
+        max_out=max_hosts_per_digest,
+        min_jaccard=min_jaccard,
+    )

@@ -586,3 +586,70 @@ def test_cocitation_max_out_cut_and_path_mode(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="out_path"):
         linkgraph.cocitation(df, materialize="path")
+
+
+# ------------------------------------------------- mirror-host detection
+
+
+def test_host_mirrors_matches_twin(spark):
+    # m1/m2 mirror each other (5 shared pages, one extra each);
+    # solo shares nothing; every host serves the boilerplate 404 body,
+    # which the max_hosts_per_digest cut removes
+    pages = (
+        [(f"https://M1.example/p{i}", f"content {i}") for i in range(5)]
+        + [(f"https://m2.example/q{i}", f"content {i}") for i in range(5)]
+        + [("https://m1.example/only", "m1 extra")]
+        + [("https://m2.example/only", "m2 extra")]
+        + [(f"https://solo.example/s{i}", f"solo {i}") for i in range(4)]
+        + [
+            (f"https://{h}.example/missing", "404 not found")
+            for h in ("m1", "m2", "solo", "a", "b", "c")
+        ]
+        + [("junk-url", "content 0"), ("https://m1.example/null", None)]
+    )
+    df = spark.createDataFrame(pages, "url string, text string")
+    kw = dict(min_common=2, min_jaccard=0.5, max_hosts_per_digest=3)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in linkgraph.host_mirrors(df, **kw).collect()
+    }
+    want = linkgraph.host_mirrors_py(pages, **kw)
+    assert set(got) == set(want)
+    for k, (wc, wj) in want.items():
+        assert got[k][0] == wc, k
+        assert got[k][1] == pytest.approx(wj, rel=1e-12), k
+    # the mirror pair: 5 shared of 7 distinct content digests
+    # (the 404 body was cut, so it inflates neither numerator nor union)
+    assert got == {("m1.example", "m2.example"): (5, pytest.approx(5 / 7))}
+    # a stricter jaccard floor prunes before materialization
+    assert (
+        linkgraph.host_mirrors(df, min_common=2, min_jaccard=0.8).count()
+        == 0
+    )
+
+
+def test_host_mirrors_digest_col_and_path_mode(spark, tmp_path):
+    pages = [
+        ("https://x.example/1", "dA"),
+        ("https://y.example/1", "dA"),
+        ("https://x.example/2", "dB"),
+        ("https://y.example/2", "dB"),
+    ]
+    df = spark.createDataFrame(pages, "url string, sig string")
+    got = linkgraph.host_mirrors(
+        df, digest_col="sig", min_common=2, min_jaccard=0.9
+    ).collect()
+    assert [
+        (r["a"], r["b"], r["n_common"], r["jaccard"]) for r in got
+    ] == [("x.example", "y.example", 2, 1.0)]
+    out = str(tmp_path / "mirrors")
+    linkgraph.host_mirrors(
+        df,
+        digest_col="sig",
+        min_common=2,
+        min_jaccard=0.9,
+        materialize="path",
+        out_path=out,
+    )
+    back = spark.read.parquet(out).collect()
+    assert len(back) == 1 and back[0]["jaccard"] == 1.0
