@@ -784,3 +784,120 @@ def phrase_search_py(
     }
     ranked = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+# ---------------------------------------------------------------------------
+# More-like-this (related-document retrieval)
+# ---------------------------------------------------------------------------
+
+def _mlt_select_terms(
+    tf: dict[str, int],
+    dfreq: dict[str, int],
+    n_docs: int,
+    *,
+    max_terms: int,
+) -> list[str]:
+    """THE term-selection kernel shared by :func:`more_like_this` and
+    :func:`more_like_this_py` — score each candidate by
+    ``tf_in_source × idf`` (same idf as scoring), keep the top
+    ``max_terms`` by (score desc, term asc). Terms absent from the live
+    index (df = 0) are dropped — they cannot contribute."""
+    scored = []
+    for t, f in tf.items():
+        df_t = dfreq.get(t, 0)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        scored.append((-f * idf, t))
+    scored.sort()
+    return sorted(t for _, t in scored[:max_terms])
+
+
+def _mlt_candidates(like_text: str, candidate_pool: int) -> dict[str, int]:
+    """Source-text term frequencies, bounded to the ``candidate_pool``
+    most frequent terms (tf desc, term asc — deterministic) before any
+    index df lookup."""
+    from collections import Counter
+
+    tf = Counter(search_tokens_py(like_text or ""))
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:candidate_pool]
+    return dict(top)
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    like_text: str,
+    *,
+    exclude_id: str | None = None,
+    max_terms: int = 10,
+    candidate_pool: int = 64,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Related documents for a source text (Lucene's MoreLikeThis shape,
+    public): pick the source's most informative terms — top
+    ``max_terms`` by ``tf × idf`` against the LIVE index — and run them
+    as a BM25 OR-query, excluding ``exclude_id`` (the source itself when
+    it lives in the corpus). Returns top-``k`` ``(id, score)``.
+
+    Accepting text (not a doc id) keeps the plan index-shaped: the
+    postings are term-bucketed, so a doc-id fetch would scan every
+    bucket, while the candidate df lookup below rides the same
+    bucket-pruned, term-pushed slice as any query — candidates are
+    bounded by ``candidate_pool`` (picked from the source's tf alone,
+    driver-side, the text is ONE document), their df count is
+    ≤ ``candidate_pool`` rows collected, and scoring reuses
+    :func:`_scores` unchanged. Out-of-corpus texts (a fresh crawl page,
+    a user snippet) work identically."""
+    tf = _mlt_candidates(like_text, candidate_pool)
+    empty = spark.createDataFrame([], "id string, score double")
+    if not tf:
+        return empty
+    meta = _read_meta(spark, index_dir)
+    if meta["n_docs"] == 0 or float(meta["avgdl"]) == 0.0:
+        return empty
+    tomb = _tombstones(spark, index_dir)
+    cand = sorted(tf)
+    live = _live(query_postings(spark, index_dir, cand), tomb)
+    dfreq = {
+        r["term"]: r["_df"]
+        for r in live.groupBy("term").agg(F.count("*").alias("_df")).collect()
+    }
+    terms = _mlt_select_terms(tf, dfreq, meta["n_docs"], max_terms=max_terms)
+    if not terms:
+        return empty
+    scored = _scores(spark, index_dir, terms, tomb, k1=k1, b=b)
+    if scored is None:
+        return empty
+    if exclude_id is not None:
+        scored = scored.filter(F.col("id") != F.lit(exclude_id))
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def more_like_this_py(
+    docs: dict[str, str],
+    like_text: str,
+    *,
+    exclude_id: str | None = None,
+    max_terms: int = 10,
+    candidate_pool: int = 64,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side twin of :func:`more_like_this` over ``{id: text}`` —
+    same candidate bound, same selection kernel, same BM25 core."""
+    tf = _mlt_candidates(like_text, candidate_pool)
+    if not tf or not docs:
+        return []
+    tok = {i: set(search_tokens_py(t)) for i, t in docs.items()}
+    dfreq = {t: sum(1 for s in tok.values() if t in s) for t in tf}
+    terms = _mlt_select_terms(tf, dfreq, len(docs), max_terms=max_terms)
+    if not terms:
+        return []
+    scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
+    if exclude_id is not None:
+        scores.pop(exclude_id, None)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

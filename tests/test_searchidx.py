@@ -452,3 +452,73 @@ def test_ranked_search_by_id_key(spark, tmp_path):
     assert blended["http://tiny.com/a"] > blended["http://big.com/a"]
     with pytest.raises(ValueError, match="rank_key"):
         searchidx.ranked_search(spark, idx, "spark", ranks, rank_key="nope")
+
+
+# ------------------------------------------------- more-like-this
+
+
+def test_more_like_this_matches_twin(spark, index_dir):
+    for src in ("d1", "d2", "d4"):
+        got = [
+            (r["id"], r["score"])
+            for r in searchidx.more_like_this(
+                spark, index_dir, CORPUS[src], exclude_id=src, k=5
+            ).collect()
+        ]
+        want = searchidx.more_like_this_py(
+            CORPUS, CORPUS[src], exclude_id=src, k=5
+        )
+        assert [g[0] for g in got] == [w[0] for w in want], src
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-9), src
+        assert src not in {g[0] for g in got}
+    # fox-doc d1 relates to the other fox doc ahead of the spark doc
+    rel = [
+        r["id"]
+        for r in searchidx.more_like_this(
+            spark, index_dir, CORPUS["d1"], exclude_id="d1", k=5
+        ).collect()
+    ]
+    assert "d4" in rel and ("d5" not in rel or rel.index("d4") < rel.index("d5"))
+
+
+def test_more_like_this_out_of_corpus_and_caps(spark, index_dir):
+    snippet = "a quick fox and a lazy dog meet a wild fox"
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.more_like_this(
+            spark, index_dir, snippet, max_terms=3, candidate_pool=4, k=6
+        ).collect()
+    ]
+    want = searchidx.more_like_this_py(
+        CORPUS, snippet, max_terms=3, candidate_pool=4, k=6
+    )
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    assert got  # the snippet does relate to the corpus
+    # degenerate inputs come back empty, schema stable
+    for text in ("", "xyzzy absentterm onlyjunk"):
+        out = searchidx.more_like_this(spark, index_dir, text)
+        assert out.count() == 0
+        assert out.columns == ["id", "score"]
+
+
+def test_more_like_this_respects_deletes(spark, index_dir):
+    # after deleting the best neighbor, selection df AND scoring both see
+    # the live set only — equal to the twin over the surviving corpus
+    searchidx.delete_docs(spark, index_dir, ["d4"])
+    live = {i: t for i, t in CORPUS.items() if i != "d4"}
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.more_like_this(
+            spark, index_dir, CORPUS["d1"], exclude_id="d1", k=5
+        ).collect()
+    ]
+    want = searchidx.more_like_this_py(
+        live, CORPUS["d1"], exclude_id="d1", k=5
+    )
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    assert "d4" not in {g[0] for g in got}
