@@ -854,3 +854,142 @@ def change_rates_py(
         else:
             out[url] = (nf, x, span, None, None, 1.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-host crawl-budget allocation
+# ---------------------------------------------------------------------------
+
+_HOST_SENTINEL = "\x00invalid"
+
+
+def _budget_host_py(url: str) -> str:
+    """Twin of the politeness host key: ``try_parse_url(HOST)`` with the
+    junk sentinel (contract pinned for well-formed urls; junk urls pool
+    into one bounded pseudo-host, as in ``cap_per_domain``)."""
+    from logagg.textfns import _URL_SPLIT_RE
+
+    m = _URL_SPLIT_RE.match(url or "")
+    if not m or not m.group(2):
+        return _HOST_SENTINEL
+    return re.sub(r":[0-9]+$", "", m.group(2).rsplit("@", 1)[-1])
+
+
+def crawl_budget(
+    priorities: DataFrame,
+    total_budget: int,
+    *,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    authority: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    window_s: float = 3600.0,
+) -> DataFrame:
+    """Allocate a global fetch budget across hosts for one scheduling
+    window — ``(host, n_urls, demand, polite_cap, budget)``. The
+    composition point of the round's crawl signals: per-url
+    ``priority`` (from :func:`change_rates` — staleness), per-host
+    ``authority`` weights (:func:`logagg.linkgraph.authority_weights`),
+    and per-host ``delays`` (:func:`crawl_delays` — politeness).
+
+    * ``demand`` = Σ url priority × host authority (absent hosts weigh
+      1.0) — how much the window WANTS this host.
+    * ``polite_cap`` = ⌊window_s / delay⌋ + 1 — the most a polite
+      fetcher can do (fetch at t = 0, then one per delay); no positive
+      delay → capped only by the url count.
+    * ``budget`` = min(n_urls, polite_cap, ⌊total_budget × demand /
+      Σ demand⌋) — one-shot proportional allocation, deterministic and
+      twin-exact; budget freed by capped hosts is deliberately NOT
+      redistributed (an iterative water-fill would couple every host's
+      allocation to every other's — re-run next window instead, the
+      windows are short).
+
+    Scale shape: one partial+final agg per host over the frontier, two
+    broadcast joins of host-sized tables, ONE scalar (Σ demand) to the
+    driver, map-side arithmetic out. Feed the result to
+    :func:`politeness_schedule` callers as the per-host row cap."""
+    hkey = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(_HOST_SENTINEL)
+    )
+    per_host = (
+        priorities.select(
+            hkey.alias("host"),
+            F.col(priority_col).cast("double").alias("_p"),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"), F.sum("_p").alias("_psum"))
+    )
+    if authority is not None:
+        a = F.broadcast(
+            authority.select(F.col("host"), F.col("weight").alias("_w"))
+        )
+        per_host = per_host.join(a, "host", "left")
+    else:
+        per_host = per_host.withColumn("_w", F.lit(None).cast("double"))
+    demand = F.col("_psum") * F.coalesce(F.col("_w"), F.lit(1.0))
+    per_host = per_host.select("host", "n_urls", demand.alias("demand"))
+    if delays is not None:
+        d = F.broadcast(delays.select("host", F.col("delay").alias("_d")))
+        per_host = per_host.join(d, "host", "left")
+    else:
+        per_host = per_host.withColumn("_d", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("_d"), F.lit(float(default_delay)))
+    cap = F.when(
+        delay > 0,
+        F.floor(F.lit(float(window_s)) / delay).cast("long") + 1,
+    ).otherwise(F.col("n_urls").cast("long"))
+    per_host = per_host.select(
+        "host", "n_urls", "demand", cap.alias("polite_cap")
+    )
+    total_demand = per_host.agg(F.sum("demand")).collect()[0][0] or 0.0
+    if total_demand <= 0.0:
+        share = F.lit(0)
+    else:
+        share = F.floor(
+            F.lit(float(total_budget)) * F.col("demand") / F.lit(total_demand)
+        )
+    return per_host.withColumn(
+        "budget",
+        F.least(
+            F.col("n_urls").cast("long"),
+            F.col("polite_cap"),
+            share.cast("long"),
+        ),
+    )
+
+
+def crawl_budget_py(
+    priorities: list[tuple[str, float]],
+    total_budget: int,
+    *,
+    authority: dict[str, float] | None = None,
+    delays: dict[str, float] | None = None,
+    default_delay: float = 1.0,
+    window_s: float = 3600.0,
+) -> dict[str, tuple[int, float, int, int]]:
+    """Driver-side twin — ``{host: (n_urls, demand, polite_cap,
+    budget)}``, same expressions in the same order."""
+    import math
+    from collections import defaultdict
+
+    counts: dict[str, int] = defaultdict(int)
+    psums: dict[str, float] = defaultdict(float)
+    for url, p in priorities:
+        h = _budget_host_py(url)
+        counts[h] += 1
+        psums[h] += float(p)
+    demand = {
+        h: psums[h] * (authority or {}).get(h, 1.0) for h in counts
+    }
+    total_demand = sum(demand.values())
+    out = {}
+    for h, n in counts.items():
+        delay = (delays or {}).get(h, default_delay)
+        cap = int(math.floor(window_s / delay)) + 1 if delay > 0 else n
+        if total_demand <= 0.0:
+            share = 0
+        else:
+            share = int(math.floor(total_budget * demand[h] / total_demand))
+        out[h] = (n, demand[h], cap, min(n, cap, share))
+    return out

@@ -541,3 +541,77 @@ def test_change_rates_random_differential(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------- crawl-budget allocation
+
+
+def test_crawl_budget_matches_twin(spark):
+    pri = (
+        [(f"http://hot.example/p{i}", 0.9) for i in range(20)]
+        + [(f"http://cold.example/c{i}", 0.05) for i in range(20)]
+        + [(f"http://slow.example/s{i}", 0.9) for i in range(20)]
+        + [("junk url", 1.0), ("also junk", 1.0)]
+    )
+    authority = {"hot.example": 2.0, "cold.example": 0.5}
+    delays = {"slow.example": 600.0}
+    df = spark.createDataFrame(pri, "url string, priority double")
+    adf = spark.createDataFrame(
+        list(authority.items()), "host string, weight double"
+    )
+    ddf = spark.createDataFrame(
+        list(delays.items()), "host string, delay double"
+    )
+    got = {
+        r["host"]: (r["n_urls"], r["demand"], r["polite_cap"], r["budget"])
+        for r in frontier.crawl_budget(
+            df, 30, authority=adf, delays=ddf, window_s=3600.0
+        ).collect()
+    }
+    want = frontier.crawl_budget_py(
+        pri, 30, authority=authority, delays=delays, window_s=3600.0
+    )
+    assert set(got) == set(want)
+    for h, (wn, wd, wc, wb) in want.items():
+        gn, gd, gc, gb = got[h]
+        assert (gn, gc, gb) == (wn, wc, wb), h
+        assert gd == pytest.approx(wd, rel=1e-12), h
+    # the authority-boosted hot host gets the biggest slice
+    assert got["hot.example"][3] > got["cold.example"][3]
+    # the slow host is politeness-capped: 3600/600 + 1 = 7 fetches max
+    assert got["slow.example"][2] == 7 and got["slow.example"][3] <= 7
+    # junk urls pool into the bounded sentinel pseudo-host
+    assert "\x00invalid" in got and got["\x00invalid"][0] == 2
+    # nothing exceeds its url count
+    assert all(b <= n for n, _, _, b in got.values())
+
+
+def test_crawl_budget_edges(spark):
+    df = spark.createDataFrame(
+        [("http://a.example/1", 0.0), ("http://b.example/1", 0.0)],
+        "url string, priority double",
+    )
+    # zero total demand -> zero budgets, not a crash
+    got = {
+        r["host"]: r["budget"]
+        for r in frontier.crawl_budget(df, 100).collect()
+    }
+    assert got == {"a.example": 0, "b.example": 0}
+    assert got == {
+        h: v[3] for h, v in frontier.crawl_budget_py(
+            [("http://a.example/1", 0.0), ("http://b.example/1", 0.0)], 100
+        ).items()
+    }
+    # zero delay -> capped by url count only
+    ddf = spark.createDataFrame([("a.example", 0.0)], "host string, delay double")
+    df2 = spark.createDataFrame(
+        [(f"http://a.example/{i}", 1.0) for i in range(5)],
+        "url string, priority double",
+    )
+    row = frontier.crawl_budget(df2, 1000, delays=ddf).collect()[0]
+    assert row["polite_cap"] == 5 and row["budget"] == 5
+    assert frontier.crawl_budget_py(
+        [(f"http://a.example/{i}", 1.0) for i in range(5)],
+        1000,
+        delays={"a.example": 0.0},
+    )["a.example"][2:] == (5, 5)
