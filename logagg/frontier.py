@@ -993,3 +993,123 @@ def crawl_budget_py(
             share = int(math.floor(total_budget * demand[h] / total_demand))
         out[h] = (n, demand[h], cap, min(n, cap, share))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diffing
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    digest_col: str | None = None,
+) -> DataFrame:
+    """Per-host drift report between two crawl snapshots — ``(host,
+    n_old, n_new, added, removed, changed, unchanged, churn)``. The
+    monitoring companion to :func:`change_rates`: change_rates watches
+    one url across fetches, this watches the whole corpus across two
+    crawls (new sections, die-offs, template rollouts show up as
+    per-host added/removed/changed spikes; ``churn`` = (added + removed
+    + changed) / n_old, NULL for hosts new this crawl).
+
+    Pages key on ``canonical_url`` (alias-proof), content on md5 of
+    ``text_col`` (or a precomputed ``digest_col``). Within a snapshot,
+    duplicate canonical keys keep the min digest — deterministic and
+    twin-exact.
+
+    Scale shape: one partial+final (key → min digest) agg per snapshot,
+    ONE full-outer join on the canonical key (both sides shuffle once,
+    co-partitioned), then a host-sized rollup. Nothing touches the
+    driver."""
+    def keyed(df: DataFrame, name: str) -> DataFrame:
+        dig = (
+            F.col(digest_col).cast("string")
+            if digest_col
+            else F.md5(F.col(text_col).cast("string").cast("binary"))
+        )
+        return (
+            df.select(
+                textstats.canonical_url(F.col(url_col)).alias("_k"),
+                dig.alias(name),
+            )
+            .filter(F.col("_k").isNotNull() & F.col(name).isNotNull())
+            .groupBy("_k")
+            .agg(F.min(name).alias(name))
+        )
+
+    o, n = keyed(old, "_do"), keyed(new, "_dn")
+    joined = o.join(n, "_k", "full_outer").select(
+        F.coalesce(
+            F.try_parse_url(F.col("_k"), F.lit("HOST")), F.lit(_HOST_SENTINEL)
+        ).alias("host"),
+        F.col("_do").isNotNull().cast("int").alias("_in_old"),
+        F.col("_dn").isNotNull().cast("int").alias("_in_new"),
+        (F.col("_do").isNull() & F.col("_dn").isNotNull())
+        .cast("int")
+        .alias("_added"),
+        (F.col("_do").isNotNull() & F.col("_dn").isNull())
+        .cast("int")
+        .alias("_removed"),
+        (
+            F.col("_do").isNotNull()
+            & F.col("_dn").isNotNull()
+            & (F.col("_do") != F.col("_dn"))
+        )
+        .cast("int")
+        .alias("_changed"),
+        (F.col("_do") == F.col("_dn")).cast("int").alias("_unchanged"),
+    )
+    agg = joined.groupBy("host").agg(
+        F.sum("_in_old").alias("n_old"),
+        F.sum("_in_new").alias("n_new"),
+        F.sum("_added").alias("added"),
+        F.sum("_removed").alias("removed"),
+        F.sum("_changed").alias("changed"),
+        F.sum(F.coalesce(F.col("_unchanged"), F.lit(0))).alias("unchanged"),
+    )
+    churn = F.when(
+        F.col("n_old") > 0,
+        (F.col("added") + F.col("removed") + F.col("changed"))
+        / F.col("n_old"),
+    )
+    return agg.withColumn("churn", churn)
+
+
+def snapshot_diff_py(
+    old: list[tuple[str, str]], new: list[tuple[str, str]]
+) -> dict[str, tuple[int, int, int, int, int, int, float | None]]:
+    """Driver-side twin over ``[(url, text)]`` snapshots — ``{host:
+    (n_old, n_new, added, removed, changed, unchanged, churn)}``."""
+    import hashlib
+    from collections import defaultdict
+
+    from logagg.textfns import canonical_url_py
+
+    def keyed(pages):
+        m: dict[str, str] = {}
+        for u, t in pages:
+            if u is None or t is None:
+                continue
+            k = canonical_url_py(u)
+            d = hashlib.md5(t.encode()).hexdigest()
+            m[k] = d if k not in m else min(m[k], d)
+        return m
+
+    o, n = keyed(old), keyed(new)
+    rows: dict[str, list[int]] = defaultdict(lambda: [0] * 6)
+    for k in o.keys() | n.keys():
+        h = _budget_host_py(k)
+        r = rows[h]
+        r[0] += k in o
+        r[1] += k in n
+        r[2] += k not in o and k in n
+        r[3] += k in o and k not in n
+        r[4] += k in o and k in n and o[k] != n[k]
+        r[5] += k in o and k in n and o[k] == n[k]
+    return {
+        h: (*r, ((r[2] + r[3] + r[4]) / r[0]) if r[0] > 0 else None)
+        for h, r in rows.items()
+    }

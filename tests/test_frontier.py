@@ -615,3 +615,47 @@ def test_crawl_budget_edges(spark):
         1000,
         delays={"a.example": 0.0},
     )["a.example"][2:] == (5, 5)
+
+
+# ------------------------------------------------- crawl snapshot diffing
+
+
+def test_snapshot_diff_matches_twin(spark):
+    old = (
+        [(f"https://a.example/p{i}", f"v1-{i}") for i in range(6)]
+        + [(f"https://b.example/q{i}", f"b-{i}") for i in range(3)]
+        # same canonical key twice in one snapshot (tracking param)
+        + [("https://a.example/p0?utm_source=x", "v1-0")]
+    )
+    new = (
+        # p0/p1 unchanged, p2/p3 changed, p4/p5 removed, two added
+        [(f"https://a.example/p{i}", f"v1-{i}") for i in range(2)]
+        + [(f"https://a.example/p{i}", f"v2-{i}") for i in (2, 3)]
+        + [(f"https://a.example/new{i}", f"n-{i}") for i in range(2)]
+        # b.example vanished entirely; c.example is new
+        + [(f"https://c.example/r{i}", f"c-{i}") for i in range(4)]
+    )
+    df_old = spark.createDataFrame(old, "url string, text string")
+    df_new = spark.createDataFrame(new, "url string, text string")
+    got = {
+        r["host"]: (
+            r["n_old"], r["n_new"], r["added"], r["removed"],
+            r["changed"], r["unchanged"], r["churn"],
+        )
+        for r in frontier.snapshot_diff(df_old, df_new).collect()
+    }
+    want = frontier.snapshot_diff_py(old, new)
+    assert set(got) == set(want)
+    for h, w in want.items():
+        g = got[h]
+        assert g[:6] == w[:6], h
+        if w[6] is None:
+            assert g[6] is None, h
+        else:
+            assert g[6] == pytest.approx(w[6], rel=1e-12), h
+    assert got["a.example"] == (6, 6, 2, 2, 2, 2, pytest.approx(1.0))
+    assert got["b.example"][:6] == (3, 0, 0, 3, 0, 0)
+    assert got["b.example"][6] == pytest.approx(1.0)
+    # brand-new host: no old baseline, churn undefined
+    assert got["c.example"][:6] == (0, 4, 4, 0, 0, 0)
+    assert got["c.example"][6] is None
