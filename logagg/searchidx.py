@@ -901,3 +901,221 @@ def more_like_this_py(
     if exclude_id is not None:
         scores.pop(exclude_id, None)
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy term suggestion (SymSpell deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+def _deletions_py(term: str, max_distance: int) -> set[str]:
+    """All strings reachable from ``term`` by ≤ ``max_distance``
+    single-character deletions (the term itself included) — the shared
+    SymSpell neighborhood kernel (Garbe's symmetric-delete scheme,
+    public): two strings within Levenshtein distance d always share a
+    member of each other's d-deletion neighborhoods."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_distance):
+        nxt = {
+            v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+        }
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev_py(a: str, b: str) -> int:
+    """Plain Levenshtein distance — the twin of Spark's built-in
+    ``levenshtein`` (insert/delete/substitute, no transposition)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _deletions_col(term, max_distance: int):
+    """Catalyst twin of :func:`_deletions_py`: repeated one-deletion
+    expansion + distinct, entirely JVM-side."""
+    one = lambda t: F.transform(  # noqa: E731 — local plan builder
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.concat(
+            F.substring(t, F.lit(1), i - 1),
+            F.substring(t, i + 1, F.length(t)),
+        ),
+    )
+    acc = F.array(term)
+    frontier_arr = F.array(term)
+    for _ in range(max_distance):
+        frontier_arr = F.array_distinct(
+            F.flatten(F.transform(frontier_arr, one))
+        )
+        acc = F.array_union(acc, frontier_arr)
+    return acc
+
+
+def build_spell_index(spark: SparkSession, index_dir: str, *, max_distance: int = 1) -> None:
+    """Materialize the SymSpell deletion table for an existing
+    :func:`build_index` layout → ``<index_dir>/spell`` rows
+    ``(variant, term, df, bucket)`` partitioned by
+    ``bucket = pmod(xxhash64(variant), num_buckets)`` — the same
+    bucket-pruned query shape as the postings themselves. ``df`` is the
+    LIVE document frequency at build time (tombstone-masked), the
+    suggestion-ranking signal. Size: |vocab| × (avg term length + 1)
+    per deletion level — vocabulary-sized, not corpus-sized.
+
+    Build shape: one live-postings scan → per-term df (partial+final
+    agg) → one Catalyst deletion expansion + explode → partitioned
+    write. Zero Python rows."""
+    meta = _read_meta(spark, index_dir)
+    nb = meta["num_buckets"]
+    live = _live(
+        spark.read.parquet(f"{index_dir}/postings"),
+        _tombstones(spark, index_dir),
+    )
+    vocab = live.groupBy("term").agg(F.count("*").alias("df"))
+    spell = (
+        vocab.select(
+            F.explode(
+                _deletions_col(F.col("term"), max_distance)
+            ).alias("variant"),
+            "term",
+            "df",
+        )
+        .withColumn("bucket", _bucket(F.col("variant"), nb))
+    )
+    spell.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/spell"
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    *,
+    max_distance: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` in-vocabulary corrections for ``term`` from the spell
+    table — ``(term, df, distance)``, distance asc, df desc, term asc
+    (an exact vocabulary hit always ranks first at distance 0).
+
+    Query shape: the query side's deletion neighborhood is generated
+    driver-side (ONE term), resolves to ≤ |neighborhood| buckets —
+    partition-pruned scan + ``variant IN (...)`` pushdown, exactly the
+    postings discipline — then candidates are verified with the JVM
+    ``levenshtein`` (the deletion match is a superset at d ≥ 2) and
+    ranked. Candidates are neighborhood-bounded; nothing corpus-sized
+    moves.
+
+    Distance is PLAIN Levenshtein (the JVM built-in): a transposition
+    counts 2, so catching swapped-letter typos needs a
+    ``max_distance=2`` spell table — the classic Damerau variant is a
+    kernel swap here, not a plan change."""
+    meta = _read_meta(spark, index_dir)
+    nb = meta["num_buckets"]
+    vars_ = sorted(_deletions_py(term, max_distance))
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(v,) for v in vars_], "v string")
+            .select(_bucket(F.col("v"), nb).alias("b"))
+            .collect()
+        }
+    )
+    cand = (
+        spark.read.parquet(f"{index_dir}/spell")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("variant").isin(vars_))
+        .select("term", "df")
+        .distinct()
+        .withColumn("distance", F.levenshtein(F.lit(term), F.col("term")))
+        .filter(F.col("distance") <= max_distance)
+    )
+    return cand.orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    ).limit(k)
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    *,
+    max_distance: int = 1,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 search with typo tolerance: every query term is replaced by
+    its best spell-table suggestion (an in-vocabulary term IS its own
+    best suggestion at distance 0 — zero behavior change for clean
+    queries); terms with no in-vocabulary neighbor are dropped. Returns
+    top-``k`` ``(id, score)`` like :func:`bm25_search`."""
+    corrected = []
+    for t in sorted(set(search_tokens_py(query))):
+        best = suggest_terms(
+            spark, index_dir, t, max_distance=max_distance, k=1
+        ).collect()
+        if best:
+            corrected.append(best[0]["term"])
+    terms = sorted(set(corrected))
+    scored = _scores(
+        spark, index_dir, terms, _tombstones(spark, index_dir), k1=k1, b=b
+    )
+    if scored is None:
+        return spark.createDataFrame([], "id string, score double")
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def suggest_terms_py(
+    docs: dict[str, str],
+    term: str,
+    *,
+    max_distance: int = 1,
+    k: int = 3,
+) -> list[tuple[str, int, int]]:
+    """Driver-side twin of :func:`suggest_terms` over ``{id: text}`` —
+    ``[(term, df, distance)]``, same neighborhood, verify, and order."""
+    from collections import Counter
+
+    dfreq = Counter(
+        t for text in docs.values() for t in set(search_tokens_py(text))
+    )
+    neigh = _deletions_py(term, max_distance)
+    out = []
+    for v, df_v in dfreq.items():
+        if _deletions_py(v, max_distance) & neigh:
+            d = _lev_py(term, v)
+            if d <= max_distance:
+                out.append((v, df_v, d))
+    out.sort(key=lambda r: (r[2], -r[1], r[0]))
+    return out[:k]
+
+
+def fuzzy_search_py(
+    docs: dict[str, str],
+    query: str,
+    *,
+    max_distance: int = 1,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side twin of :func:`fuzzy_search`."""
+    corrected = []
+    for t in sorted(set(search_tokens_py(query))):
+        best = suggest_terms_py(docs, t, max_distance=max_distance, k=1)
+        if best:
+            corrected.append(best[0][0])
+    terms = sorted(set(corrected))
+    scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

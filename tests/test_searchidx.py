@@ -522,3 +522,94 @@ def test_more_like_this_respects_deletes(spark, index_dir):
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], rel=1e-9)
     assert "d4" not in {g[0] for g in got}
+
+
+# ------------------------------------------------- fuzzy (SymSpell)
+
+
+def test_deletion_neighborhood_spark_equals_py(spark):
+    terms = ["lazy", "a", "fox", "quick", "aa", "spark"]
+    for d in (1, 2):
+        df = spark.createDataFrame([(t,) for t in terms], "t string")
+        got = [
+            set(r["v"])
+            for r in df.select(
+                searchidx._deletions_col(F.col("t"), d).alias("v")
+            ).collect()
+        ]
+        want = [searchidx._deletions_py(t, d) for t in terms]
+        assert got == want, d
+
+
+def test_suggest_terms_matches_twin(spark, index_dir):
+    searchidx.build_spell_index(spark, index_dir)
+    for typo in ("lzay", "qick", "foxs", "dog", "xyzzy", "dogs"):
+        got = [
+            (r["term"], r["df"], r["distance"])
+            for r in searchidx.suggest_terms(
+                spark, index_dir, typo, k=3
+            ).collect()
+        ]
+        want = searchidx.suggest_terms_py(CORPUS, typo, k=3)
+        assert got == want, typo
+    # exact vocabulary hit ranks itself first at distance 0
+    assert searchidx.suggest_terms_py(CORPUS, "dog", k=1)[0][::2] == ("dog", 0)
+    got_dog = searchidx.suggest_terms(spark, index_dir, "dog", k=1).collect()
+    assert (got_dog[0]["term"], got_dog[0]["distance"]) == ("dog", 0)
+    # no in-vocabulary neighbor -> empty
+    assert searchidx.suggest_terms(spark, index_dir, "xyzzy").count() == 0
+
+
+def test_suggest_terms_distance_two(spark, index_dir):
+    searchidx.build_spell_index(spark, index_dir, max_distance=2)
+    got = [
+        (r["term"], r["df"], r["distance"])
+        for r in searchidx.suggest_terms(
+            spark, index_dir, "lzzay", max_distance=2, k=3
+        ).collect()
+    ]
+    want = searchidx.suggest_terms_py(CORPUS, "lzzay", max_distance=2, k=3)
+    assert got == want and ("lazy", 2, 2) in got
+
+
+def test_fuzzy_search_matches_twin_and_plain(spark, index_dir):
+    searchidx.build_spell_index(spark, index_dir)
+    # plain-Levenshtein contract: a TRANSPOSED typo is distance 2 — at
+    # max_distance=1 both engines agree it stays uncorrected
+    assert searchidx.fuzzy_search(spark, index_dir, "lzay").count() == 0
+    assert searchidx.fuzzy_search_py(CORPUS, "lzay") == []
+    # substitution + insertion typos are distance 1
+    got = [
+        (r["id"], r["score"])
+        for r in searchidx.fuzzy_search(
+            spark, index_dir, "lazi dogg", k=4
+        ).collect()
+    ]
+    want = searchidx.fuzzy_search_py(CORPUS, "lazi dogg", k=4)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    # the corrected query scores exactly like the clean one
+    clean = [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(
+            spark, index_dir, "lazy dog", k=4
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [c[0] for c in clean]
+    for g, c in zip(got, clean):
+        assert g[1] == pytest.approx(c[1], rel=1e-12)
+    # clean queries are untouched by the fuzzy path
+    f = [
+        (r["id"], r["score"])
+        for r in searchidx.fuzzy_search(
+            spark, index_dir, "quick fox", k=4
+        ).collect()
+    ]
+    p = [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(
+            spark, index_dir, "quick fox", k=4
+        ).collect()
+    ]
+    assert [x[0] for x in f] == [x[0] for x in p]
