@@ -1113,3 +1113,52 @@ def snapshot_diff_py(
         h: (*r, ((r[2] + r[3] + r[4]) / r[0]) if r[0] > 0 else None)
         for h, r in rows.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery from robots.txt
+# ---------------------------------------------------------------------------
+
+def robots_sitemaps_py(body: str) -> list[str]:
+    """``Sitemap:`` directives of one robots.txt body, in file order,
+    deduplicated. Per RFC 9309 §2.2.4 sitemap lines are group-INDEPENDENT
+    (they apply regardless of user-agent), which is why
+    :func:`parse_robots_py` rightly ignores them — discovery is a
+    separate concern from exclusion."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            # the value is ONE url token (both engines reject embedded
+            # whitespace — the Spark side's regex is `(\S+)` anchored)
+            if v and not re.search(r"\s", v) and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
+def robots_sitemaps(
+    robots: DataFrame, *, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``(host, body)`` robots fetches → ``(host, sitemap_url)`` rows,
+    ready for :func:`parse_sitemaps`. Pure Catalyst: split lines, strip
+    comments, case-insensitive ``sitemap:`` prefix match, trim —
+    map-only, no Python, no shuffle. Dedup is per (host, url) via the
+    same in-order first-occurrence the twin produces (array_distinct
+    preserves first occurrence)."""
+    lines = F.split(F.col(body_col), "\n")
+    vals = F.transform(
+        lines,
+        lambda ln: F.regexp_extract(
+            F.split_part(ln, F.lit("#"), F.lit(1)),
+            r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$",
+            1,
+        ),
+    )
+    urls = F.array_distinct(F.filter(vals, lambda v: v != ""))
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )

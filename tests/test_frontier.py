@@ -659,3 +659,45 @@ def test_snapshot_diff_matches_twin(spark):
     # brand-new host: no old baseline, churn undefined
     assert got["c.example"][:6] == (0, 4, 4, 0, 0, 0)
     assert got["c.example"][6] is None
+
+
+# ------------------------------------------------- robots sitemap discovery
+
+
+def test_robots_sitemaps_matches_twin(spark):
+    bodies = {
+        "h1": (
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h1/s1.xml\n"
+            "sitemap:https://h1/s2.xml   # trailing comment\n"
+            "SITEMAP:   https://h1/s1.xml\n"  # duplicate — once
+        ),
+        "h2": "# only comments\nSitemap: https://h2/a b.xml\nSitemap:\n",
+        "h3": "User-agent: *\nAllow: /\n",
+        "h4": "Sitemap: https://h4/idx.xml\r\nDisallow: /\r\n",
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "host string, body string"
+    )
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in frontier.robots_sitemaps(df).collect()
+    }
+    want = {
+        (h, u)
+        for h, b in bodies.items()
+        for u in frontier.robots_sitemaps_py(b)
+    }
+    assert got == want
+    assert got == {
+        ("h1", "https://h1/s1.xml"),
+        ("h1", "https://h1/s2.xml"),
+        ("h4", "https://h4/idx.xml"),
+    }
+    # a sitemap line does NOT start a rule group: h4's headerless
+    # Disallow stays ignored (rules before any User-agent line)
+    assert frontier.robots_allowed_py(bodies["h4"], "any", "/p")
+    # and inside a group it does not split the group either
+    grouped = "User-agent: *\nSitemap: https://x/s.xml\nDisallow: /p\n"
+    assert not frontier.robots_allowed_py(grouped, "any", "/p")
+    assert frontier.robots_sitemaps_py(grouped) == ["https://x/s.xml"]
