@@ -64,3 +64,12 @@ def test_model_ops_plan_contract(spark):
     from explain_plans import model_ops_plan_contract
 
     assert model_ops_plan_contract(spark) == []
+
+
+def test_crawl_ops_plan_contract(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_plans import crawl_ops_plan_contract
+
+    assert crawl_ops_plan_contract(spark) == []

@@ -315,6 +315,118 @@ def search_graph_plan_contract(spark) -> list[str]:
     return failures
 
 
+def crawl_ops_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of the round-5 crawl/search additions:
+
+    * ``frontier.url_templates`` — pure-Catalyst template projection
+      (zero Python nodes), partial+final counts, and NO single-partition
+      exchange (a global window over hosts would serialize the crawl).
+    * ``frontier.change_rates`` — exactly ONE hash exchange (the per-url
+      history agg), zero Python, zero windows.
+    * ``frontier.crawl_budget`` — authority/delay joins BROADCAST (the
+      frontier side never re-shuffles into a host join), exactly one
+      hash exchange.
+    * ``frontier.snapshot_diff`` — zero Python; the snapshot join is a
+      real co-partitioned join, never a broadcast nested loop.
+    * ``searchidx.suggest_terms`` — the spell scan is bucket-pruned with
+      the variant IN-list pushed, top-k is TakeOrdered.
+    * ``searchidx.more_like_this`` — scoring rides the same bucket-pruned
+      + term-pushed postings slice as bm25_search, TakeOrdered top-k.
+
+    Returns failure strings (empty = contract holds)."""
+    import tempfile
+
+    from logagg import frontier, searchidx
+
+    failures: list[str] = []
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 5}.com/a/{i}", float(i % 3) / 2) for i in range(50)],
+        "url string, priority double",
+    )
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(frontier.url_templates(urls))
+    if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p):
+        failures.append("url_templates: Python in the plan")
+    if "partial_count" not in p:
+        failures.append("url_templates: counts not partial-aggregated")
+    if "Exchange SinglePartition" in p:
+        failures.append("url_templates: single-partition exchange")
+
+    hist = spark.createDataFrame(
+        [(f"u{i % 7}", float(i) * 3600.0, f"d{i % 2}") for i in range(40)],
+        "url string, fetch_ts double, digest string",
+    )
+    p = plan_of(frontier.change_rates(hist))
+    if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p):
+        failures.append("change_rates: Python in the plan")
+    if "Window" in p:
+        failures.append("change_rates: window function crept in")
+    n_ex = p.count("Exchange hashpartitioning")
+    if n_ex != 1:
+        failures.append(f"change_rates: {n_ex} hash exchanges (want 1)")
+
+    auth = spark.createDataFrame(
+        [(f"h{i}.com", 1.0 + i) for i in range(5)], "host string, weight double"
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.com", 1.0) for i in range(5)], "host string, delay double"
+    )
+    p = plan_of(frontier.crawl_budget(urls, 100, authority=auth, delays=delays))
+    if p.count("BroadcastHashJoin") != 2:
+        failures.append("crawl_budget: authority/delay joins not both broadcast")
+    if "SortMergeJoin" in p:
+        failures.append("crawl_budget: a host join shuffles")
+    n_ex = p.count("Exchange hashpartitioning")
+    if n_ex != 1:
+        failures.append(f"crawl_budget: {n_ex} hash exchanges (want 1)")
+
+    pages = spark.createDataFrame(
+        [(f"http://h{i % 4}.com/p{i}", f"text {i}") for i in range(40)],
+        "url string, text string",
+    )
+    p = plan_of(frontier.snapshot_diff(pages, pages))
+    if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p):
+        failures.append("snapshot_diff: Python in the plan")
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        failures.append("snapshot_diff: non-equi join shape")
+    if "partial_min" not in p:
+        failures.append("snapshot_diff: per-key digest agg not partial")
+
+    docs = spark.createDataFrame(
+        [(str(i), f"alpha beta{i % 3} gamma delta {i}") for i in range(30)],
+        "id string, text string",
+    )
+    with tempfile.TemporaryDirectory(prefix="logagg-spell-plan-") as d:
+        idx = f"{d}/idx"
+        searchidx.build_index(docs, idx, num_buckets=8)
+        searchidx.build_spell_index(spark, idx)
+        q = searchidx.suggest_terms(spark, idx, "alpa", k=3)
+        p = plan_of(q)
+        if not re.search(r"PartitionFilters: \[.*bucket", p):
+            failures.append("suggest_terms: no partition filter on bucket")
+        if not re.search(r"PushedFilters: \[.*In\(variant", p):
+            failures.append("suggest_terms: variant IN-list not pushed")
+        if "TakeOrderedAndProject" not in p:
+            failures.append("suggest_terms: top-k is not TakeOrdered")
+        q.collect()
+
+        q2 = searchidx.more_like_this(spark, idx, "alpha gamma delta", k=5)
+        p2 = plan_of(q2)
+        if not re.search(r"PartitionFilters: \[.*bucket", p2):
+            failures.append("more_like_this: no partition filter on bucket")
+        if not re.search(r"PushedFilters: \[.*In\(term", p2):
+            failures.append("more_like_this: term IN-list not pushed")
+        if "BroadcastHashJoin" not in p2:
+            failures.append("more_like_this: per-term df join not broadcast")
+        if "TakeOrderedAndProject" not in p2:
+            failures.append("more_like_this: top-k is not TakeOrdered")
+        q2.collect()
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -375,6 +487,16 @@ def main(only: list[str]) -> int:
                 "anchor partial-agg before window"
             )
         rc |= 1 if sfails else 0
+        print(f"{'='*70}\ncrawl-ops plan contract\n{'='*70}")
+        cfails = crawl_ops_plan_contract(spark)
+        for msg in cfails:
+            print(f"  [VIOLATION] {msg}")
+        if not cfails:
+            print(
+                "  [ok] templates/diff pure-Catalyst; change_rates/budget "
+                "one exchange; spell + mlt bucket-pruned TakeOrdered"
+            )
+        rc |= 1 if cfails else 0
     return rc
 
 
