@@ -1119,3 +1119,85 @@ def fuzzy_search_py(
     terms = sorted(set(corrected))
     scores = _bm25_scores_py(docs, terms, k1=k1, b=b)
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# Fielded search (BM25F-lite)
+# ---------------------------------------------------------------------------
+
+def fielded_search(
+    spark: SparkSession,
+    fields: dict[str, tuple[str, float]],
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-field ranked retrieval — ``fields`` maps a field name to
+    ``(index_dir, weight)`` where each index is a :func:`build_index`
+    layout over that field's text (body, title, anchor text, …); the
+    document score is ``Σ_field weight × bm25_field`` (the simple linear
+    BM25F variant — per-field length normalization, weighted combination;
+    Robertson & Zaragoza 2009 §3.4, public). A document scores in every
+    field that matches it — title hits float above body-only hits at
+    equal term counts, the classic web-ranking win.
+
+    Plan shape: one bucket-pruned, term-pushed, query-bounded score
+    frame per field (exactly :func:`bm25_search`'s slice — nothing
+    corpus-sized), a union of those tiny frames, ONE partial+final sum
+    per id, TakeOrdered top-k."""
+    terms = sorted(set(search_tokens_py(query)))
+    legs = []
+    for name in sorted(fields):
+        index_dir, weight = fields[name]
+        scored = _scores(
+            spark,
+            index_dir,
+            terms,
+            _tombstones(spark, index_dir),
+            k1=k1,
+            b=b,
+        )
+        if scored is not None and weight != 0.0:
+            legs.append(
+                scored.select(
+                    "id",
+                    (F.col("score") * F.lit(float(weight))).alias("_ws"),
+                )
+            )
+    if not legs:
+        return spark.createDataFrame([], "id string, score double")
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (
+        u.groupBy("id")
+        .agg(F.sum("_ws").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def fielded_search_py(
+    fields: dict[str, tuple[dict[str, str], float]],
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Driver-side twin of :func:`fielded_search` — ``fields`` maps a
+    field name to ``({id: text}, weight)``. Per-field contributions are
+    summed in sorted field order; the engine's partial-agg sum order is
+    only commutative, so cross-checks compare at 1e-9, like every other
+    float-summing twin here."""
+    terms = sorted(set(search_tokens_py(query)))
+    totals: dict[str, float] = {}
+    for name in sorted(fields):
+        docs, weight = fields[name]
+        if weight == 0.0:
+            continue
+        for id_, s in _bm25_scores_py(docs, terms, k1=k1, b=b).items():
+            totals[id_] = totals.get(id_, 0.0) + s * weight
+    return sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

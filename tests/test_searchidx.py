@@ -613,3 +613,72 @@ def test_fuzzy_search_matches_twin_and_plain(spark, index_dir):
         ).collect()
     ]
     assert [x[0] for x in f] == [x[0] for x in p]
+
+
+# ------------------------------------------------- fielded search (BM25F)
+
+
+TITLES = {
+    "d1": "the quick fox",
+    "d2": "lazy dog daily",
+    "d3": "on brevity",
+    "d4": "fox dens explained",
+    "d5": "spark internals",
+    "d6": "",
+}
+
+
+def test_fielded_search_matches_twin(spark, index_dir, tmp_path):
+    tidx = str(tmp_path / "tidx")
+    searchidx.build_index(
+        spark.createDataFrame(list(TITLES.items()), "id string, text string"),
+        tidx,
+        num_buckets=8,
+    )
+    fields = {"body": (index_dir, 1.0), "title": (tidx, 2.5)}
+    tw_fields = {"body": (CORPUS, 1.0), "title": (TITLES, 2.5)}
+    for q in ("fox", "lazy dog", "spark partitions", "xyzzy"):
+        got = [
+            (r["id"], r["score"])
+            for r in searchidx.fielded_search(spark, fields, q, k=5).collect()
+        ]
+        want = searchidx.fielded_search_py(tw_fields, q, k=5)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-9), q
+    # the title boost reorders: d4 mentions fox in title AND body twice;
+    # with weight 0 on title the ranking equals plain body BM25
+    plain = [
+        (r["id"], r["score"])
+        for r in searchidx.fielded_search(
+            spark, {"body": (index_dir, 1.0), "title": (tidx, 0.0)}, "fox", k=5
+        ).collect()
+    ]
+    body_only = [
+        (r["id"], r["score"])
+        for r in searchidx.bm25_search(spark, index_dir, "fox", k=5).collect()
+    ]
+    assert [p[0] for p in plain] == [b[0] for b in body_only]
+    for p, b_ in zip(plain, body_only):
+        assert p[1] == pytest.approx(b_[1], rel=1e-12)
+
+
+def test_fielded_search_title_beats_body_tie(spark, index_dir, tmp_path):
+    tidx = str(tmp_path / "tidx2")
+    searchidx.build_index(
+        spark.createDataFrame(list(TITLES.items()), "id string, text string"),
+        tidx,
+        num_buckets=8,
+    )
+    # "brevity" appears only in d3's body and d3's title; "dens" only in
+    # d4's title — a title-only hit must still surface
+    got = {
+        r["id"]
+        for r in searchidx.fielded_search(
+            spark,
+            {"body": (index_dir, 1.0), "title": (tidx, 2.0)},
+            "dens",
+            k=3,
+        ).collect()
+    }
+    assert got == {"d4"}
