@@ -480,3 +480,51 @@ def collocations_py(
         out.append((x, y, c, pmi))
     out.sort(key=lambda r: (-r[3], r[0], r[1]))
     return out[:top_k]
+
+
+def strip_host_boilerplate_py(
+    pages: list[tuple[str, str]],
+    *,
+    min_share: float = 0.5,
+    min_pages: int = 3,
+    min_chars: int = 4,
+) -> dict[str, tuple[str, int]]:
+    """Driver-side twin of ``textstats.strip_host_boilerplate`` —
+    ``{url: (new_text, n_lines_dropped)}`` with the same host key
+    (well-formed urls; junk pools into the sentinel host), line split,
+    participation rule, and share threshold."""
+    from collections import defaultdict
+
+    _URL_HOST_SENTINEL = "\x00invalid"
+
+    def host_of(url: str) -> str:
+        m = _URL_SPLIT_RE.match(url or "")
+        if not m or not m.group(2):
+            return _URL_HOST_SENTINEL
+        return re.sub(r":[0-9]+$", "", m.group(2).rsplit("@", 1)[-1])
+
+    by_host: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for u, t in pages:
+        by_host[host_of(u)].append((u, t or ""))
+    out: dict[str, tuple[str, int]] = {}
+    for _, hp in by_host.items():
+        n_pages = len({u for u, _ in hp})
+        line_pages: dict[str, set] = defaultdict(set)
+        for u, t in hp:
+            for ln in t.split("\n"):
+                if len(ln) >= min_chars:
+                    line_pages[ln].add(u)
+        for u, t in hp:
+            kept, dropped = [], 0
+            for ln in t.split("\n"):
+                lp = len(line_pages.get(ln, ()))
+                if (
+                    len(ln) >= min_chars
+                    and lp >= min_pages
+                    and lp / n_pages >= min_share
+                ):
+                    dropped += 1
+                else:
+                    kept.append(ln)
+            out[u] = ("\n".join(kept), dropped)
+    return out

@@ -630,3 +630,88 @@ def collocations(
         return res
     finally:
         toks.unpersist()
+
+
+def strip_host_boilerplate(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_share: float = 0.5,
+    min_pages: int = 3,
+    min_chars: int = 4,
+) -> DataFrame:
+    """Remove per-host boilerplate LINES: a line appearing on at least
+    ``min_share`` of a host's pages (and on ≥ ``min_pages`` pages) is
+    site furniture — cookie banners, nav, footers — that survives even
+    good per-page extraction because every host renders it differently.
+    The host-frequency line cut is the CCNet/C4-family preprocessing
+    step (public); lines shorter than ``min_chars`` never participate
+    (too generic to be evidence). Returns the input rows with
+    ``text_col`` rewritten (dropped lines removed, survivors rejoined
+    with ``\\n`` in original order) plus ``n_lines_dropped``. Input rows
+    must be unique by ``url_col`` (run :func:`dedup_urls` first — the
+    curate pipeline already does).
+
+    Scale shape, all Catalyst: one ``posexplode`` of the line split →
+    per-(host, line-digest) DISTINCT page count (partial+final; the key
+    includes the digest so one host's volume spreads across tasks) +
+    one host-sized page count, joined back on (host, digest) — the
+    digest join is corpus-lines × host-vocabulary, hash-partitioned —
+    then per-page reassembly via one ``collect_list(struct(idx, line))``
+    agg (page-bounded) and an ``array_sort`` rejoin. No Python, no
+    windows, no driver traffic."""
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("\x00invalid")
+    )
+    base = pages.withColumn("_host", host)
+    lines = base.select(
+        "_host",
+        F.col(url_col).alias("_u"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_idx", "_line"
+        ),
+    ).withColumn("_sig", F.md5(F.col("_line").cast("binary")))
+    host_pages = base.groupBy("_host").agg(
+        F.count_distinct(F.col(url_col)).alias("_hp")
+    )
+    line_pages = (
+        lines.filter(F.length("_line") >= min_chars)
+        .select("_host", "_sig", "_u")
+        .distinct()
+        .groupBy("_host", "_sig")
+        .agg(F.count("*").alias("_lp"))
+    )
+    tagged = (
+        lines.join(line_pages, ["_host", "_sig"], "left")
+        .join(host_pages, "_host")
+        .withColumn(
+            "_drop",
+            (F.length("_line") >= min_chars)
+            & (F.col("_lp") >= min_pages)
+            & ((F.col("_lp") / F.col("_hp")) >= min_share),
+        )
+    )
+    rebuilt = tagged.groupBy("_u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"), F.struct("_idx", "_line")
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_new_text"),
+        F.sum(F.col("_drop").cast("int")).alias("n_lines_dropped"),
+    )
+    return (
+        pages.join(
+            rebuilt.withColumnRenamed("_u", url_col), url_col
+        )
+        .withColumn(text_col, F.col("_new_text"))
+        .drop("_new_text")
+    )

@@ -483,3 +483,74 @@ def test_collocations_empty_and_leak_free(spark):
     assert empty.count() == 0
     assert list(empty.columns) == ["w1", "w2", "n_pair", "pmi"]
     assert sc.getPersistentRDDs().size() == before
+
+
+# ------------------------------------------------- host boilerplate lines
+
+
+def test_strip_host_boilerplate_matches_twin(spark):
+    banner = "Accept our cookies to continue"
+    footer = "(c) 2024 Example Corp | Privacy | Terms"
+    pages = (
+        [
+            (
+                f"https://site.example/p{i}",
+                f"{banner}\nUnique paragraph number {i}.\n\n{footer}",
+            )
+            for i in range(6)
+        ]
+        # one page missing the banner — furniture still detected via share
+        + [("https://site.example/odd", f"Odd page body.\n{footer}")]
+        # a small host below min_pages keeps everything
+        + [
+            (f"https://tiny.example/t{i}", f"{banner}\ntiny {i}")
+            for i in range(2)
+        ]
+    )
+    df = spark.createDataFrame(pages, "url string, text string")
+    got = {
+        r["url"]: (r["text"], r["n_lines_dropped"])
+        for r in textstats.strip_host_boilerplate(df).collect()
+    }
+    want = textfns.strip_host_boilerplate_py(pages)
+    assert got == want
+    # furniture gone, content intact, empty spacer line kept (< min_chars)
+    assert got["https://site.example/p0"] == (
+        "Unique paragraph number 0.\n",
+        2,
+    )
+    assert got["https://site.example/odd"] == ("Odd page body.", 1)
+    # tiny host untouched (min_pages floor)
+    assert got["https://tiny.example/t0"][1] == 0
+    assert banner in got["https://tiny.example/t0"][0]
+    # row count preserved
+    assert len(got) == len(pages)
+
+
+def test_strip_host_boilerplate_thresholds(spark):
+    # share threshold: a line on 2/5 pages survives at min_share=0.5,
+    # dies at 0.3
+    pages = [
+        (f"https://h.example/{i}", ("semi common line\nbody %d" % i) if i < 2 else f"body {i}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(pages, "url string, text string")
+    loose = {
+        r["url"]: r["n_lines_dropped"]
+        for r in textstats.strip_host_boilerplate(
+            df, min_share=0.3, min_pages=2
+        ).collect()
+    }
+    strict = {
+        r["url"]: r["n_lines_dropped"]
+        for r in textstats.strip_host_boilerplate(
+            df, min_share=0.5, min_pages=2
+        ).collect()
+    }
+    assert loose["https://h.example/0"] == 1 and strict["https://h.example/0"] == 0
+    for params in (dict(min_share=0.3, min_pages=2), dict(min_share=0.5, min_pages=2)):
+        got = {
+            r["url"]: (r["text"], r["n_lines_dropped"])
+            for r in textstats.strip_host_boilerplate(df, **params).collect()
+        }
+        assert got == textfns.strip_host_boilerplate_py(pages, **params)
