@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--redact", action="store_true")
     ap.add_argument("--paragraph-dedup", action="store_true",
                     help="drop corpus-wide duplicate paragraphs (CCNet-style)")
+    ap.add_argument("--host-boilerplate", action="store_true",
+                    help="cut lines repeated across a host's pages "
+                         "(requires --url-col)")
     ap.add_argument("--langs", default=None, help="comma-separated keep list")
     ap.add_argument("--quality-min", type=float, default=None)
     ap.add_argument("--blocklist", default=None,
@@ -112,6 +115,7 @@ def main() -> None:
         quality_model=quality_model,
         quality_prob_min=args.quality_prob_min,
         redact=args.redact,
+        host_boilerplate=args.host_boilerplate,
         paragraph_dedup=args.paragraph_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         quality_min=args.quality_min,

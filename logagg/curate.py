@@ -4,6 +4,7 @@ actually runs, built from the repo's individual operators.
     raw documents
       → domain blocklist         (mix.filter_blocklist, broadcast hash join)
       → PII redaction            (textstats.redact_pii, Catalyst)
+      → host boilerplate cut     (textstats.strip_host_boilerplate, Catalyst)
       → paragraph dedup          (dedup.dedup_paragraphs, CCNet-style, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
@@ -79,6 +80,8 @@ def curate(
     url_col: str | None = None,
     blocklist: list[str] | None = None,
     redact: bool = False,
+    host_boilerplate: bool = False,
+    host_boilerplate_share: float = 0.5,
     paragraph_dedup: bool = False,
     langs: tuple[str, ...] | None = None,
     quality_min: float | None = None,
@@ -164,6 +167,21 @@ def curate(
         step("blocklist", lambda d: mix.filter_blocklist(d, blocklist, url_col=url_col))
     if redact:
         step("redact_pii", lambda d: d.withColumn(text_col, textstats.redact_pii(F.col(text_col))))
+    if host_boilerplate:
+        # host-frequency line cut BEFORE the corpus-level paragraph dedup:
+        # site furniture is per-host evidence, and removing it first keeps
+        # cross-host paragraph collisions meaningful. Needs url-keyed docs.
+        if url_col is None:
+            raise ValueError("host_boilerplate requires url_col")
+        step(
+            "host_boilerplate",
+            lambda d: textstats.strip_host_boilerplate(
+                d,
+                url_col=url_col,
+                text_col=text_col,
+                min_share=host_boilerplate_share,
+            ).drop("n_lines_dropped"),
+        )
     if paragraph_dedup:
         # CCNet order: paragraph-level boilerplate removal comes BEFORE
         # language/quality/LM judgments — headers and cookie banners skew

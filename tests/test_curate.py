@@ -259,3 +259,35 @@ def test_curate_pages_end_to_end(spark, pages_cache):
     sample = out.select("text").first()["text"]
     assert "<" not in sample.split()[0]
     res.unpersist()
+
+
+def test_host_boilerplate_stage(spark):
+    banner = "Accept cookies to continue reading"
+    rows = [
+        (i, f"{banner}\nreal document body number {i}", f"https://h.example/p{i}")
+        for i in range(4)
+    ] + [(9, "no banner here at all", "https://other.example/solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    res = curate.curate(
+        df, url_col="url", host_boilerplate=True, exact_dedup=False
+    )
+    assert [m["stage"] for m in res.manifest] == ["host_boilerplate"]
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    # transform-only: all rows survive, the shared banner is gone from
+    # every h.example page, bodies and the solo host intact
+    assert len(out) == 5
+    assert all(banner not in out[i] for i in range(4))
+    assert all(f"body number {i}" in out[i] for i in range(4))
+    assert out[9] == "no banner here at all"
+    assert "n_lines_dropped" not in res.docs.columns
+    # equal to the twin applied manually
+    want = textfns.strip_host_boilerplate_py(
+        [(u, t) for _, t, u in rows]
+    )
+    got_by_url = {
+        r["url"]: r["text"] for r in res.docs.collect()
+    }
+    assert got_by_url == {u: t for u, (t, _) in want.items()}
+    res.unpersist()
+    with pytest.raises(ValueError, match="url_col"):
+        curate.curate(df, host_boilerplate=True, exact_dedup=False)
