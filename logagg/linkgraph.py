@@ -1266,3 +1266,54 @@ def host_mirrors_py(
         max_out=max_hosts_per_digest,
         min_jaccard=min_jaccard,
     )
+
+
+def coupling(
+    edges: DataFrame,
+    *,
+    min_common: int = 2,
+    max_in: int = 256,
+    min_jaccard: float = 0.0,
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963 — public), the dual of
+    :func:`cocitation`: two SOURCES are related when they cite many of
+    the same targets — ``(a, b, n_common, jaccard)`` over out-link
+    sets. Where co-citation finds related *targets* from shared citers,
+    coupling finds related *citers* from shared targets: the "pages on
+    the same topic" signal for freshly crawled pages that nothing
+    links to yet (co-citation needs in-links to exist; out-links ship
+    with the page itself).
+
+    Implementation: :func:`cocitation` on the REVERSED edge list — one
+    engine, all three callers (`cocitation`, `host_mirrors`, here).
+    ``max_in`` cuts super-cited targets first (everyone links the
+    homepage; shared home-page links carry no topical signal — the
+    boilerplate-digest cut in its graph form)."""
+    return cocitation(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        min_common=min_common,
+        max_out=max_in,
+        min_jaccard=min_jaccard,
+        materialize=materialize,
+        out_path=out_path,
+    )
+
+
+def coupling_py(
+    edges: list[tuple[str, str]],
+    *,
+    min_common: int = 2,
+    max_in: int = 256,
+    min_jaccard: float = 0.0,
+) -> dict[tuple[str, str], tuple[int, float]]:
+    """Driver-side twin — co-citation of the reversed edge list."""
+    return cocitation_py(
+        [(d, s) for s, d in edges],
+        min_common=min_common,
+        max_out=max_in,
+        min_jaccard=min_jaccard,
+    )

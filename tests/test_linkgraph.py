@@ -653,3 +653,41 @@ def test_host_mirrors_digest_col_and_path_mode(spark, tmp_path):
     )
     back = spark.read.parquet(out).collect()
     assert len(back) == 1 and back[0]["jaccard"] == 1.0
+
+
+# ------------------------------------------------- bibliographic coupling
+
+
+def test_coupling_matches_twin_and_duals_cocitation(spark):
+    edges = [
+        # p1 and p2 cite 3 shared targets; p3 shares one with each;
+        # EVERYONE cites the homepage — which max_in must cut
+        ("p1", "t1"), ("p1", "t2"), ("p1", "t3"), ("p1", "home"),
+        ("p2", "t1"), ("p2", "t2"), ("p2", "t3"), ("p2", "home"),
+        ("p3", "t1"), ("p3", "t9"), ("p3", "home"),
+        ("p4", "home"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    kw = dict(min_common=1, max_in=3)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in linkgraph.coupling(df, **kw).collect()
+    }
+    want = linkgraph.coupling_py(edges, **kw)
+    assert set(got) == set(want)
+    for k, (wc, wj) in want.items():
+        assert got[k][0] == wc and got[k][1] == pytest.approx(wj, rel=1e-12), k
+    # home is cited by 4 > max_in sources: cut, so p4 pairs with nobody
+    assert not any("p4" in k for k in got)
+    # after the home cut p1 and p2 cite IDENTICAL sets {t1,t2,t3}
+    assert got[("p1", "p2")] == (3, pytest.approx(1.0))
+    assert got[("p1", "p3")] == (1, pytest.approx(1 / 4))
+    # duality: coupling(E) == cocitation(E reversed), bit-for-bit
+    rev = spark.createDataFrame(
+        [(d, s) for s, d in edges], "src string, dst string"
+    )
+    dual = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard"])
+        for r in linkgraph.cocitation(rev, min_common=1, max_out=3).collect()
+    }
+    assert dual == got
