@@ -1162,3 +1162,93 @@ def robots_sitemaps(
     return robots.select(
         F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
     )
+
+
+def fetch_plan(
+    priorities: DataFrame,
+    total_budget: int,
+    *,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    authority: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    window_s: float = 3600.0,
+) -> DataFrame:
+    """The executable fetch list for one scheduling window — the
+    composition of :func:`crawl_budget` (how many fetches each host
+    gets) and :func:`politeness_schedule` (which urls, in which order,
+    at which offsets): input rows whose per-host priority slot fits the
+    host's budget, with ``(host, slot, not_before_s)`` attached. A
+    worker partition-by-host executes rows in slot order, sleeping to
+    each offset; everything past the budget waits for the next window.
+
+    Invariant worth its name: the politeness cap inside the budget
+    (⌊window/delay⌋ + 1) guarantees every planned ``not_before_s`` =
+    (slot−1)·delay lands INSIDE the window.
+
+    Scale shape: the budget table is host-sized and joins broadcast;
+    the schedule is the one politeness shuffle; the slot filter is
+    map-side. One extra scalar (Σ demand, inside crawl_budget) is the
+    only driver traffic."""
+    budgets = crawl_budget(
+        priorities,
+        total_budget,
+        url_col=url_col,
+        priority_col=priority_col,
+        authority=authority,
+        delays=delays,
+        default_delay=default_delay,
+        window_s=window_s,
+    )
+    sched = politeness_schedule(
+        priorities,
+        url_col=url_col,
+        delays=delays,
+        default_delay=default_delay,
+        priority=F.col(priority_col),
+    )
+    return sched.join(
+        F.broadcast(budgets.select("host", "budget")), "host"
+    ).filter(F.col("slot") <= F.col("budget")).drop("budget")
+
+
+def fetch_plan_py(
+    priorities: list[tuple[str, float]],
+    total_budget: int,
+    *,
+    authority: dict[str, float] | None = None,
+    delays: dict[str, float] | None = None,
+    default_delay: float = 1.0,
+    window_s: float = 3600.0,
+) -> dict[str, tuple[str, int, float]]:
+    """Driver-side twin — ``{url: (host, slot, not_before_s)}`` for the
+    planned fetches, same order key as the engine's politeness window
+    (priority desc, md5(url) hex, url)."""
+    import hashlib
+    from collections import defaultdict
+
+    budgets = crawl_budget_py(
+        priorities,
+        total_budget,
+        authority=authority,
+        delays=delays,
+        default_delay=default_delay,
+        window_s=window_s,
+    )
+    by_host: dict[str, list] = defaultdict(list)
+    for url, p in priorities:
+        h = _budget_host_py(url)
+        by_host[h].append(
+            (-float(p), hashlib.md5(url.encode()).hexdigest(), url)
+        )
+    out = {}
+    for h, rows in by_host.items():
+        delay = (delays or {}).get(h, default_delay)
+        budget = budgets[h][3]
+        rows.sort()
+        for slot, (_, _, url) in enumerate(rows, start=1):
+            if slot > budget:
+                break
+            out[url] = (h, slot, (slot - 1) * delay)
+    return out

@@ -701,3 +701,52 @@ def test_robots_sitemaps_matches_twin(spark):
     grouped = "User-agent: *\nSitemap: https://x/s.xml\nDisallow: /p\n"
     assert not frontier.robots_allowed_py(grouped, "any", "/p")
     assert frontier.robots_sitemaps_py(grouped) == ["https://x/s.xml"]
+
+
+# ------------------------------------------------- fetch plan (composition)
+
+
+def test_fetch_plan_matches_twin_and_invariants(spark):
+    pri = (
+        [(f"http://hot.example/p{i}", float(i % 5) / 4) for i in range(12)]
+        + [(f"http://slow.example/s{i}", 1.0) for i in range(10)]
+        + [(f"http://meh.example/m{i}", 0.1) for i in range(4)]
+    )
+    delays = {"slow.example": 900.0}
+    authority = {"hot.example": 3.0}
+    df = spark.createDataFrame(pri, "url string, priority double")
+    adf = spark.createDataFrame(list(authority.items()), "host string, weight double")
+    ddf = spark.createDataFrame(list(delays.items()), "host string, delay double")
+    kw = dict(window_s=3600.0, default_delay=2.0)
+    got = {
+        r["url"]: (r["host"], r["slot"], r["not_before_s"])
+        for r in frontier.fetch_plan(
+            df, 12, authority=adf, delays=ddf, **kw
+        ).collect()
+    }
+    want = frontier.fetch_plan_py(
+        pri, 12, authority=authority, delays=delays, **kw
+    )
+    assert got == want
+    # per-host counts equal the budget table exactly
+    budgets = frontier.crawl_budget_py(
+        pri, 12, authority=authority, delays=delays, **kw
+    )
+    from collections import Counter
+
+    per_host = Counter(h for h, _, _ in got.values())
+    assert all(per_host.get(h, 0) == b for h, (_, _, _, b) in budgets.items())
+    # politeness invariant: every planned fetch starts inside the window
+    assert all(nb <= 3600.0 for _, _, nb in got.values())
+    # the slow host is politeness-capped: 3600/900 + 1 = 5 slots max
+    assert per_host["slow.example"] <= 5
+    # within a host the highest-priority urls made the cut
+    hot_kept = {u for u, (h, _, _) in got.items() if h == "hot.example"}
+    if hot_kept:
+        kept_min = min(p for u, p in pri if u in hot_kept)
+        cut_max = max(
+            (p for u, p in pri
+             if u.startswith("http://hot.example") and u not in hot_kept),
+            default=-1.0,
+        )
+        assert kept_min >= cut_max
