@@ -608,6 +608,25 @@ def _headline():
         si.build_index(docs, f"{out}/idx", num_buckets=32)
         return si.bm25_search(spark, f"{out}/idx", "spark data pipeline", k=20)
 
+    def tpl_run(spark, sf_dir):
+        # crawl-diagnostics shape: distinct urls → pure-Catalyst template
+        # projection → two host-keyed aggs (trap mining over the corpus)
+        from logagg import frontier as fr
+
+        return fr.url_templates(
+            entrymod._pages(spark, sf_dir).select("url"), min_pages=20
+        )
+
+    def hostbp_run(spark, sf_dir):
+        # host-frequency boilerplate line cut over the full pages corpus:
+        # posexplode → per-(host, digest) distinct-page count → digest
+        # join → per-page reassembly, all Catalyst
+        from logagg import textstats as ts
+
+        return ts.strip_host_boilerplate(
+            entrymod._pages(spark, sf_dir).select("url", "text")
+        )
+
     return {
         "parse_records": (qs["parse_records"], count),
         "curate_e2e": (curate_run, count_unpersist),
@@ -629,6 +648,8 @@ def _headline():
         "warc_ingest": (warc_run, collect),
         "linkgraph_pagerank": (linkrank_run, count),
         "bm25_build_search": (bm25_run, collect),
+        "url_templates": (tpl_run, collect),
+        "host_boilerplate_strip": (hostbp_run, count),
         "tpch_q1": (qs["tpch_q1"], collect),
         "tpch_q9_profit": (qs["tpch_q9_profit"], collect),
         "grok_error_codes": (qs["grok_error_codes"], count),

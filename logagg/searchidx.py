@@ -1201,3 +1201,87 @@ def fielded_search_py(
         for id_, s in _bm25_scores_py(docs, terms, k1=k1, b=b).items():
             totals[id_] = totals.get(id_, 0.0) + s * weight
     return sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# Index verification (maintenance audit)
+# ---------------------------------------------------------------------------
+
+def verify_index(spark: SparkSession, index_dir: str) -> list[str]:
+    """Audit an index layout's cross-file invariants and return the list
+    of violations (empty = healthy). After k incremental updates,
+    deletes, and upserts, THESE are the equations that make
+    tombstone-masked search provably equal to a rebuild — run this
+    before trusting a long-lived index, after a suspected partial write,
+    or as the acceptance check following :func:`compact_index`:
+
+    * ``meta.n_docs`` == count of LIVE doclens rows (tombstone-masked);
+    * ``meta.sum_dl`` == Σ live ``dl``, and ``avgdl`` == sum/count;
+    * every live doc has EXACTLY ONE live doclens generation (an upsert
+      that tombstoned nothing would double-count df);
+    * live postings' per-doc ``dl`` agrees with the doclens table, and
+      per-doc ``Σ tf`` == ``dl`` (token conservation);
+    * every postings row sits in the bucket its term hashes to
+      (a mispartitioned file would silently vanish from pruned queries);
+    * ``meta.gen`` ≥ every stored gen (no writer from the future).
+
+    Scale shape: one pass over doclens (host-sized aggregates), one over
+    postings (two partial+final aggs: per-doc and per-bucket-violation
+    count); only scalar violation counts reach the driver."""
+    failures: list[str] = []
+    meta = _read_meta(spark, index_dir)
+    tomb = _tombstones(spark, index_dir)
+    dl = _live(spark.read.parquet(f"{index_dir}/doclens"), tomb)
+    agg = dl.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        F.count_distinct("id").alias("d"),
+        F.coalesce(F.max("gen"), F.lit(0)).alias("g"),
+    ).collect()[0]
+    if agg["n"] != meta["n_docs"]:
+        failures.append(
+            f"meta.n_docs={meta['n_docs']} but live doclens rows={agg['n']}"
+        )
+    if agg["s"] != meta["sum_dl"]:
+        failures.append(
+            f"meta.sum_dl={meta['sum_dl']} but live dl sum={agg['s']}"
+        )
+    if meta["n_docs"]:
+        want_avg = meta["sum_dl"] / meta["n_docs"]
+        if abs(meta["avgdl"] - want_avg) > 1e-9:
+            failures.append(
+                f"meta.avgdl={meta['avgdl']} != sum_dl/n_docs={want_avg}"
+            )
+    if agg["d"] != agg["n"]:
+        failures.append(
+            f"{agg['n'] - agg['d']} live doc(s) carry multiple live "
+            "generations (upsert without tombstone?)"
+        )
+    post = _live(spark.read.parquet(f"{index_dir}/postings"), tomb)
+    per_doc = post.groupBy("id", "dl").agg(F.sum("tf").alias("_tfsum"))
+    bad_tf = per_doc.filter(F.col("_tfsum") != F.col("dl")).count()
+    if bad_tf:
+        failures.append(
+            f"{bad_tf} live doc(s) where postings Σtf != stored dl"
+        )
+    bad_dl = per_doc.join(
+        dl.select("id", F.col("dl").alias("_dl2")), "id"
+    ).filter(F.col("dl") != F.col("_dl2")).count()
+    if bad_dl:
+        failures.append(
+            f"{bad_dl} live doc(s) whose postings dl disagrees with doclens"
+        )
+    nb = meta["num_buckets"]
+    bad_bucket = post.filter(
+        F.col("bucket") != _bucket(F.col("term"), nb)
+    ).count()
+    if bad_bucket:
+        failures.append(
+            f"{bad_bucket} postings row(s) in the wrong term bucket"
+        )
+    max_gen = post.agg(F.coalesce(F.max("gen"), F.lit(0))).collect()[0][0]
+    if max(max_gen, agg["g"]) > meta["gen"]:
+        failures.append(
+            f"stored gen {max(max_gen, agg['g'])} exceeds meta.gen {meta['gen']}"
+        )
+    return failures

@@ -682,3 +682,68 @@ def test_fielded_search_title_beats_body_tie(spark, index_dir, tmp_path):
         ).collect()
     }
     assert got == {"d4"}
+
+
+# ------------------------------------------------- index verification
+
+
+def test_verify_index_healthy_through_lifecycle(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(list(CORPUS.items()), "id string, text string")
+    searchidx.build_index(docs, idx, num_buckets=8)
+    assert searchidx.verify_index(spark, idx) == []
+    searchidx.update_index(
+        spark.createDataFrame([("d7", "brand new page about verification")],
+                              "id string, text string"),
+        idx,
+    )
+    assert searchidx.verify_index(spark, idx) == []
+    searchidx.delete_docs(spark, idx, ["d2"])
+    assert searchidx.verify_index(spark, idx) == []
+    searchidx.replace_docs(
+        spark.createDataFrame([("d1", "rewritten fox content")],
+                              "id string, text string"),
+        idx,
+    )
+    assert searchidx.verify_index(spark, idx) == []
+    searchidx.compact_index(spark, idx)
+    assert searchidx.verify_index(spark, idx) == []
+
+
+def test_verify_index_detects_corruption(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(list(CORPUS.items()), "id string, text string")
+    searchidx.build_index(docs, idx, num_buckets=8)
+
+    # (a) tampered meta: n_docs off by one
+    meta_schema = (
+        "n_docs long, sum_dl long, avgdl double, num_buckets int, "
+        "gen long, positional boolean"
+    )
+
+    def write_meta(m):
+        spark.createDataFrame(
+            [(m["n_docs"], m["sum_dl"], m["avgdl"], m["num_buckets"],
+              m["gen"], m["positional"])],
+            meta_schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{idx}/meta")
+
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0].asDict()
+    good = dict(meta)
+    meta["n_docs"] += 1
+    write_meta(meta)
+    fails = searchidx.verify_index(spark, idx)
+    assert any("n_docs" in f for f in fails)
+    assert any("avgdl" in f for f in fails)
+    write_meta(good)
+    assert searchidx.verify_index(spark, idx) == []
+
+    # (b) a postings row written into the WRONG bucket partition, with a
+    # tf that also breaks token conservation
+    spark.createDataFrame(
+        [("zzginterloper", "d1", 3, 9, 0, 0)],
+        "term string, id string, tf long, dl int, gen long, bucket int",
+    ).write.mode("append").partitionBy("bucket").parquet(f"{idx}/postings")
+    fails = searchidx.verify_index(spark, idx)
+    assert any("wrong term bucket" in f for f in fails)
+    assert any("Σtf" in f or "tf" in f for f in fails)
