@@ -320,3 +320,42 @@ def expected_media(urls: list[str], htmls: list[bytes]) -> dict[str, list]:
         rows["feature0"].append(int.from_bytes(d[2:6], "big") / 2**32)
         rows["feature1"].append(int.from_bytes(d[6:10], "big") / 2**32)
     return rows
+
+
+def semantic_dedup_py(
+    vectors: dict,
+    *,
+    n_clusters: int = 64,
+    threshold: float = 0.97,
+    train_sample: int = 2048,
+    iters: int = 10,
+    seed: int = 0xC3,
+) -> dict:
+    """Twin of ``similarity.semantic_dedup`` over ``{id: vector}`` —
+    same hash-ranked quantizer sample, same ``_kmeans_lite`` (shared
+    code, not re-implemented), same argmax assignment, same greedy
+    kernel. Returns ``{id: (cluster, keep, max_cos_kept)}``."""
+    from logagg.similarity import _kmeans_lite, _semdedup_greedy
+
+    ids = list(vectors)
+    sample_ids = hash_sample_ids_py(ids, train_sample)
+    sample = np.array([vectors[i] for i in sample_ids], dtype=np.float64)
+    sn = np.linalg.norm(sample, axis=1, keepdims=True)
+    sn[sn == 0.0] = 1.0
+    cents = _kmeans_lite(sample / sn, min(n_clusters, len(sample)), iters, seed)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    centsn = cents / cn
+    mat = np.array([vectors[i] for i in ids], dtype=np.float64)
+    nr = np.linalg.norm(mat, axis=1, keepdims=True)
+    nr[nr == 0.0] = 1.0
+    clusters = ((mat / nr) @ centsn.T).argmax(axis=1)
+    out = {}
+    for c in sorted(set(int(x) for x in clusters)):
+        rows = [j for j, cj in enumerate(clusters) if cj == c]
+        res = _semdedup_greedy(
+            [ids[j] for j in rows], mat[rows], centsn[c], threshold
+        )
+        for id_, keep, mc in res:
+            out[id_] = (c, keep, mc)
+    return out

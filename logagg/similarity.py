@@ -309,3 +309,124 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = ANN_K) -> DataFr
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster, then dedup within clusters)
+# ---------------------------------------------------------------------------
+
+def _semdedup_greedy(
+    ids: list, mat: np.ndarray, cent: np.ndarray, threshold: float
+) -> list[tuple[object, bool, float]]:
+    """THE per-cluster dedup kernel, shared by the Spark group pass and
+    the twin: L2-normalize the members, order by (cosine-to-centroid
+    asc, id asc) — the SemDeDup keeper rule: the point FARTHEST from the
+    centroid is the most informative representative of its duplicate
+    neighborhood and is kept first — then greedily keep a point iff its
+    max cosine to every already-kept point is ≤ ``threshold``. Returns
+    ``[(id, keep, max_cos_kept)]`` (max_cos_kept = -1.0 for the first
+    kept point of a cluster)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    matn = mat / norms
+    centn = cent / (np.linalg.norm(cent) or 1.0)
+    cos_c = matn @ centn
+    order = sorted(range(len(ids)), key=lambda i: (cos_c[i], ids[i]))
+    kept_rows: list[int] = []
+    out = []
+    for i in order:
+        if kept_rows:
+            mc = float((matn[kept_rows] @ matn[i]).max())
+        else:
+            mc = -1.0
+        keep = mc <= threshold
+        if keep:
+            kept_rows.append(i)
+        out.append((ids[i], keep, mc))
+    return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.97,
+    train_sample: int = 2048,
+    iters: int = 10,
+    seed: int = 0xC3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): embedding-level semantic
+    dedup at corpus scale — coarse k-means clustering, then exact
+    pairwise cosine ONLY within clusters → ``(id, cluster, keep,
+    max_cos_kept)``. This is the scale path between exact
+    ``embedding_dupes`` (O(n²), oracle-scale only) and LSH (recall<1 on
+    a global criterion): the quadratic work drops to Σ|cluster|², and
+    semantically-near duplicates land in the same cluster by
+    construction.
+
+    Determinism: the quantizer trains on the hash-ranked
+    ``train_sample`` (content-independent id order, the IVF recipe),
+    assignment is an argmax GEMM per Arrow batch, and the per-cluster
+    greedy (:func:`_semdedup_greedy`) is totally ordered — same corpus
+    in, same keep set out, any partitioning.
+
+    Scale shape: driver trains on a bounded sample; one map-only GEMM
+    pass assigns; one ``applyInPandas`` group pass per cluster runs the
+    greedy (a cluster must fit a task — pick ``n_clusters`` ≈ corpus /
+    desired cluster size, exactly the published recipe's knob)."""
+    sample_rows = (
+        embeddings.withColumn(
+            "_hr", F.md5(F.col(id_col).cast("string").cast("binary"))
+        )
+        .orderBy("_hr", id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sn = np.linalg.norm(sample, axis=1, keepdims=True)
+    sn[sn == 0.0] = 1.0
+    cents = _kmeans_lite(sample / sn, min(n_clusters, len(sample)), iters, seed)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    centsn = cents / cn
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nr = np.linalg.norm(mat, axis=1, keepdims=True)
+            nr[nr == 0.0] = 1.0
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cluster"] = ((mat / nr) @ centsn.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    id_field = embeddings.schema[id_col].dataType.simpleString()
+    emb_field = embeddings.schema[vec_col].dataType.simpleString()
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_field}, {vec_col} {emb_field}, cluster int"
+    )
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["cluster"].iloc[0])
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        rows = _semdedup_greedy(
+            list(pdf[id_col]), mat, centsn[c], threshold
+        )
+        return pd.DataFrame(
+            {
+                id_col: [r[0] for r in rows],
+                "cluster": c,
+                "keep": [r[1] for r in rows],
+                "max_cos_kept": [r[2] for r in rows],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_group,
+        schema=f"{id_col} {id_field}, cluster int, keep boolean, "
+        "max_cos_kept double",
+    )

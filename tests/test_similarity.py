@@ -70,3 +70,105 @@ def test_ivf_recall_against_exact(spark):
         by_q.setdefault(r["qid"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def test_semantic_dedup_crafted_matches_twin(spark):
+    import numpy as np
+
+    import pytest
+
+    from logagg import refsketch, similarity
+
+    rng = np.random.default_rng(7)
+    base = {
+        0: np.array([1.0, 0.0, 0.0, 0.0]),
+        1: np.array([0.0, 1.0, 0.0, 0.0]),
+        2: np.array([0.0, 0.0, 1.0, 0.0]),
+    }
+    vectors = {}
+    vid = 0
+    for b in base.values():
+        for _ in range(6):  # six near-copies per direction
+            vectors[vid] = (b + rng.normal(0, 0.01, 4)).tolist()
+            vid += 1
+        # one genuinely distinct member in the same cluster
+        vectors[vid] = (b + rng.normal(0, 0.6, 4)).tolist()
+        vid += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: the twin must see the SAME values the engine sees
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    kw = dict(n_clusters=3, threshold=0.98, train_sample=50, iters=5)
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"], r["max_cos_kept"])
+        for r in similarity.semantic_dedup(df, **kw).collect()
+    }
+    want = refsketch.semantic_dedup_py(stored, **kw)
+    assert set(got) == set(want)
+    for i, (wc, wk, wm) in want.items():
+        gc, gk, gm = got[i]
+        assert (gc, gk) == (wc, wk), i
+        assert gm == pytest.approx(wm, abs=1e-9), i
+    # each direction keeps ≥ 2 (one representative of the dup pile +
+    # the distinct member) and drops most of the six near-copies
+    kept = [i for i, (_, k, _) in got.items() if k]
+    dropped = [i for i, (_, k, _) in got.items() if not k]
+    assert len(dropped) >= 12 and len(kept) >= 6 - 3 + 3
+    # determinism under repartitioning: identical keep set
+    again = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup(df.repartition(7), **kw).collect()
+    }
+    assert again == {i: k for i, (_, k, _) in got.items()}
+
+
+def test_semantic_dedup_corpus_kernel_consistency(spark):
+    import numpy as np
+
+    import pytest
+
+    from logagg import refsketch, similarity
+
+    from pyspark.sql import functions as F
+
+    base = _emb(spark).select("vec_id", "embedding")
+    # plant exact duplicates of five existing vectors under fresh ids —
+    # the corpus itself is noisy enough that no natural pair clears the
+    # threshold, and the drop path must be exercised corpus-scale too
+    dupes = (
+        base.orderBy("vec_id")
+        .limit(5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    emb = base.unionByName(dupes)
+
+    kw = dict(n_clusters=8, threshold=0.9, train_sample=256, iters=5)
+    res = similarity.semantic_dedup(emb, **kw).collect()
+    got = {r["vec_id"]: (r["cluster"], r["keep"], r["max_cos_kept"]) for r in res}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert set(got) == set(vecs)
+    # within every cluster, the keep flags are EXACTLY the greedy kernel's
+    # output given the engine's own assignments (kernel single-sourcing)
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for i, (c, _, _) in got.items():
+        by_cluster[c].append(i)
+    # reconstruct centroids the same way the engine did
+    want_twin = refsketch.semantic_dedup_py(
+        {i: list(v) for i, v in vecs.items()}, **kw
+    )
+    for i, w in want_twin.items():
+        assert got[i][0] == w[0], i
+        assert got[i][1] == w[1], i
+    # the planted duplicates were deduped (one of each identical pair
+    # dropped), and the corpus wasn't wiped out
+    keeps = [k for _, k, _ in got.values()]
+    assert sum(1 for k in keeps if not k) >= 5
+    assert sum(keeps) >= len(vecs) - 10
