@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--host-boilerplate", action="store_true",
                     help="cut lines repeated across a host's pages "
                          "(requires --url-col)")
+    ap.add_argument("--c4", action="store_true",
+                    help="C4 line/document heuristics (Raffel et al. 2020)")
+    ap.add_argument("--c4-min-sentences", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma-separated keep list")
     ap.add_argument("--quality-min", type=float, default=None)
     ap.add_argument("--blocklist", default=None,
@@ -116,6 +119,8 @@ def main() -> None:
         quality_prob_min=args.quality_prob_min,
         redact=args.redact,
         host_boilerplate=args.host_boilerplate,
+        c4=args.c4,
+        c4_min_sentences=args.c4_min_sentences,
         paragraph_dedup=args.paragraph_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else None,
         quality_min=args.quality_min,

@@ -5,6 +5,7 @@ actually runs, built from the repo's individual operators.
       → domain blocklist         (mix.filter_blocklist, broadcast hash join)
       → PII redaction            (textstats.redact_pii, Catalyst)
       → host boilerplate cut     (textstats.strip_host_boilerplate, Catalyst)
+      → C4 line/doc filters      (textstats.c4_filters, Raffel et al., Catalyst)
       → paragraph dedup          (dedup.dedup_paragraphs, CCNet-style, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
@@ -82,6 +83,8 @@ def curate(
     redact: bool = False,
     host_boilerplate: bool = False,
     host_boilerplate_share: float = 0.5,
+    c4: bool = False,
+    c4_min_sentences: int = 5,
     paragraph_dedup: bool = False,
     langs: tuple[str, ...] | None = None,
     quality_min: float | None = None,
@@ -181,6 +184,17 @@ def curate(
                 text_col=text_col,
                 min_share=host_boilerplate_share,
             ).drop("n_lines_dropped"),
+        )
+    if c4:
+        # C4 line/doc heuristics AFTER the host cut (furniture first — a
+        # cookie banner that happens to end in '.' would otherwise survive
+        # as a "sentence") and BEFORE paragraph dedup / LM judgments, same
+        # reasoning as host_boilerplate. Line-rewrites text, drops docs.
+        step(
+            "c4_filters",
+            lambda d: textstats.c4_filters(
+                d, text_col=text_col, min_sentences=c4_min_sentences
+            ).drop("n_lines_dropped", "n_sentences"),
         )
     if paragraph_dedup:
         # CCNet order: paragraph-level boilerplate removal comes BEFORE

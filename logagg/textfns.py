@@ -528,3 +528,43 @@ def strip_host_boilerplate_py(
                     kept.append(ln)
             out[u] = ("\n".join(kept), dropped)
     return out
+
+
+_C4_TRAIL_WS_RE = re.compile(r"[ \t\x0b\f\r]+$")
+_C4_WORD_RE = re.compile(r"[ \t\x0b\f\r]+")
+_C4_SENT_RE = re.compile(r"[.!?][\"']?[ \t\n\x0b\f\r]")
+
+
+def c4_filter_py(
+    text: str,
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = (),
+) -> tuple[str, int, int, bool]:
+    """Independent twin of ``textstats.c4_filters`` (differential oracle,
+    not a shared kernel — the Spark side is pure Catalyst). Returns
+    ``(kept_text, n_lines_dropped, n_sentences, keep_doc)``."""
+    text = text or ""
+    kept: list[str] = []
+    dropped = 0
+    for ln in text.split("\n"):
+        trimmed = _C4_TRAIL_WS_RE.sub("", ln)
+        ends_ok = bool(trimmed) and trimmed[-1] in '.!?"'
+        n_words = len([w for w in _C4_WORD_RE.split(ln) if w])
+        no_js = "javascript" not in ln.lower()
+        if ends_ok and n_words >= min_words_per_line and no_js:
+            kept.append(ln)
+        else:
+            dropped += 1
+    kept_text = "\n".join(kept)
+    n_sent = len(_C4_SENT_RE.findall(kept_text + "\n"))
+    keep_doc = (
+        "{" not in text
+        and "lorem ipsum" not in text.lower()
+        and n_sent >= min_sentences
+    )
+    if keep_doc and bad_words:
+        lowered = {w.lower() for w in bad_words}
+        keep_doc = not (set(tokens(text.lower())) & lowered)
+    return kept_text, dropped, n_sent, keep_doc

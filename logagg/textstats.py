@@ -715,3 +715,79 @@ def strip_host_boilerplate(
         .withColumn(text_col, F.col("_new_text"))
         .drop("_new_text")
     )
+
+
+def c4_filters(
+    pages: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4-style line and document cleaning (Raffel et al. 2020, §2.2 — the
+    public heuristics behind the C4 corpus). Line rules: keep a line only
+    if it (a) ends in a terminal punctuation mark (``.`` ``!`` ``?`` or a
+    closing ``\"``, after trailing-ASCII-whitespace trim), (b) has at least
+    ``min_words_per_line`` whitespace tokens, and (c) does not mention
+    "javascript" (case-insensitive). Document rules, on the ORIGINAL
+    text: drop pages containing ``{`` (code), the phrase "lorem ipsum"
+    (placeholder boilerplate), any ``bad_words`` token (lowercased
+    token-exact match), or fewer than ``min_sentences`` sentences in the
+    kept text (sentence = terminal punct, optional closing quote, then
+    whitespace — counted against a sentinel-``\\n``-terminated copy so no
+    engine-specific ``$`` semantics are involved).
+
+    Returns surviving rows with ``text_col`` rewritten to the kept lines
+    (original order, ``\\n``-joined) plus ``n_lines_dropped`` and
+    ``n_sentences``. Pure Catalyst — one projection, zero shuffles, zero
+    Python; filters stay above the scan so column pruning and pushdown are
+    untouched. Twin: :func:`logagg.textfns.c4_filter_py` (independent
+    implementation, differential-tested).
+
+    Reference scope note: the reference pipeline (aggregator/logs.py)
+    validates and drops malformed log rows (P11); this is the analogous
+    validate/drop pass a webtext user runs on page text."""
+    ws = "[ \\t\\x0b\\f\\r]"
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _keep_line(ln: Column) -> Column:
+        trimmed = F.regexp_replace(ln, ws + "+$", "")
+        last = F.substring(trimmed, -1, 1)
+        ends_ok = last.isin(".", "!", "?", '"')
+        n_words = F.size(F.filter(F.split(ln, ws + "+"), lambda w: w != F.lit("")))
+        no_js = ~F.contains(F.lower(ln), F.lit("javascript"))
+        return ends_ok & (n_words >= min_words_per_line) & no_js
+
+    lines = F.split(text, "\n")
+    # named intermediate so the filter-lambda tree is evaluated ONCE (an
+    # inline reuse would duplicate it into every downstream expression)
+    out = (
+        pages.withColumn("_kept", F.filter(lines, _keep_line))
+        .withColumn("n_lines_dropped", F.size(lines) - F.size(F.col("_kept")))
+        .withColumn(
+            # sentinel \n instead of `$`: Java and Python disagree on whether a
+            # bare `$` matches before a final line terminator; the explicit
+            # class never does
+            "n_sentences",
+            F.regexp_count(
+                F.concat(F.array_join(F.col("_kept"), "\n"), F.lit("\n")),
+                F.lit("[.!?][\"']?[ \\t\\n\\x0b\\f\\r]"),
+            ),
+        )
+    )
+    doc_ok = (
+        ~F.contains(text, F.lit("{"))
+        & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & (F.col("n_sentences") >= min_sentences)
+    )
+    if bad_words:
+        lowered = [w.lower() for w in bad_words]
+        doc_ok = doc_ok & ~F.arrays_overlap(
+            tokens_col(F.lower(text)), F.array(*[F.lit(w) for w in lowered])
+        )
+    return (
+        out.filter(doc_ok)
+        .withColumn(text_col, F.array_join(F.col("_kept"), "\n"))
+        .drop("_kept")
+    )

@@ -291,3 +291,19 @@ def test_host_boilerplate_stage(spark):
     res.unpersist()
     with pytest.raises(ValueError, match="url_col"):
         curate.curate(df, host_boilerplate=True, exact_dedup=False)
+
+
+def test_c4_stage(spark):
+    good = "\n".join(f"Sentence number {i} is a fine keeper." for i in range(6))
+    rows = [
+        ("d1", good),
+        ("d2", good + "\nplus a stray { brace"),       # doc-dropped: brace
+        ("d3", "no terminal punctuation anywhere\nstill none"),  # all lines cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    res = curate.curate(docs, c4=True, exact_dedup=False)
+    stages = [m["stage"] for m in res.manifest]
+    assert stages == ["c4_filters"]
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert set(out) == {"d1"} and out["d1"] == good
+    assert res.docs.columns == docs.columns  # accounting cols dropped

@@ -110,7 +110,11 @@ def test_dup_clusters_chain_converges_logarithmically(spark):
         spark.range(0).selectExpr("'x' as url", "'y' as text"),  # unused: pairs given
         pairs=_chain_pairs(spark, 50),
     ).collect()
-    assert jvm_sc.getPersistentRDDs().size() == before
+    # <= not ==: localCheckpoint frames from EARLIER test files are
+    # session-wide persistent RDDs that py4j GC can release mid-test, so
+    # the absolute count may DROP under us (observed 17 -> 13 in a full
+    # suite run). The invariant dup_clusters owns is "no NEW cached RDDs".
+    assert jvm_sc.getPersistentRDDs().size() <= before
     assert len(out) == 50
     assert {r["cluster"] for r in out} == {"d000"}  # component min is the keeper
 

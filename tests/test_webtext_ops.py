@@ -554,3 +554,94 @@ def test_strip_host_boilerplate_thresholds(spark):
             for r in textstats.strip_host_boilerplate(df, **params).collect()
         }
         assert got == textfns.strip_host_boilerplate_py(pages, **params)
+
+
+# ------------------------------------------------- C4 line/document filters
+
+
+def test_c4_filters_hand_cases(spark):
+    keeper = (
+        "This is a perfectly normal first sentence.\n"
+        "And here is a second good line!\n"
+        'Is this a question line, asked politely?\n'
+        "short one.\n"                       # < 3 words -> dropped
+        "No terminal punctuation here\n"     # bad ending -> dropped
+        "Enable JavaScript to view comments.\n"  # javascript -> dropped
+        "A third keeper sentence. With two sentences inside it.\n"
+        "Quoted endings also count as terminal.\""
+    )
+    rows = [
+        ("u1", keeper),
+        ("u2", "function f() { return 1; }\nGood sentence here though."),  # brace
+        ("u3", "Lorem Ipsum dolor sit amet filler text here.\n" + keeper),  # lorem
+        ("u4", "Only one sentence kept here.\nsecond line no punct"),  # < 5 sents
+        ("u5", None),  # null text -> empty -> dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r["url"]: (r["text"], r["n_lines_dropped"], r["n_sentences"])
+        for r in textstats.c4_filters(df).collect()
+    }
+    assert set(got) == {"u1"}
+    new_text, n_dropped, n_sent = got["u1"]
+    assert n_dropped == 3
+    # 1 + 1 + 1 + 2 + 1 sentences across the five kept lines
+    assert n_sent == 6
+    assert "JavaScript" not in new_text and "short one." not in new_text
+    assert new_text.startswith("This is a perfectly normal first sentence.\n")
+
+
+def test_c4_filters_matches_twin_on_corpus(spark, pages_cache):
+    # corpus text is log-styled (no terminal punctuation), so doctoring half
+    # the lines with a period — in Python, BEFORE createDataFrame, so both
+    # engines see identical bytes — exercises keeps AND drops at scale
+    raw = (
+        spark.read.parquet(str(pages_cache / "pages.parquet"))
+        .select("url", "text")
+        .limit(400)
+        .collect()
+    )
+    src = [
+        (
+            r["url"],
+            "\n".join(
+                ln + "." if i % 2 == 0 else ln
+                for i, ln in enumerate((r["text"] or "").split("\n"))
+            ),
+        )
+        for r in raw
+    ]
+    df = spark.createDataFrame(src, "url string, text string")
+    got = {
+        r["url"]: (r["text"], r["n_lines_dropped"], r["n_sentences"])
+        for r in textstats.c4_filters(df, min_sentences=1).collect()
+    }
+    kept_twin = {}
+    for u, t in src:
+        new_text, dropped, n_sent, keep = textfns.c4_filter_py(t, min_sentences=1)
+        if keep:
+            kept_twin[u] = (new_text, dropped, n_sent)
+    assert got == kept_twin
+    assert 0 < len(got) < len(src)  # the rule actually bites both ways
+
+
+def test_c4_filters_bad_words_token_exact(spark):
+    base = (
+        "A first good sentence right here.\n"
+        "Second sentence is also fine.\n"
+        "Third one keeps the page alive.\n"
+        "Fourth sentence of quality text.\n"
+        "Fifth sentence closes it out."
+    )
+    rows = [
+        ("clean", base),
+        ("dirty", base + "\nThis page mentions badword once more here."),
+        # substring must NOT match (token-exact contract)
+        ("sub", base + "\nThis page mentions badwordish compounds here."),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["url"] for r in textstats.c4_filters(df, bad_words=("BadWord",)).collect()}
+    assert got == {"clean", "sub"}
+    for u, t in rows:
+        _, _, _, keep = textfns.c4_filter_py(t, bad_words=("BadWord",))
+        assert keep == (u in got)
