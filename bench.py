@@ -627,8 +627,24 @@ def _headline():
             entrymod._pages(spark, sf_dir).select("url", "text")
         )
 
+    def hh_run(spark, sf_dir):
+        # huge-key-space top-k: per-partition Misra-Gries candidates
+        # (map-only Arrow pass) + broadcast exact recount — the shuffle
+        # carries <= capacity x partitions rows, not one row per key.
+        # Hosts, not urls: the corpus urls are distinct by construction, so
+        # the url stream has NO heavy hitters and MG correctly returns none.
+        from pyspark.sql import functions as F
+
+        from logagg import aggregate as agg
+
+        hosts = entrymod._pages(spark, sf_dir).select(
+            F.try_parse_url("url", F.lit("HOST")).alias("host")
+        )
+        return agg.heavy_hitters(hosts, "host", k=20, capacity=256)
+
     return {
         "parse_records": (qs["parse_records"], count),
+        "heavy_hitters_hosts": (hh_run, collect),
         "curate_e2e": (curate_run, count_unpersist),
         "sink_agg_hourly": (qs["sink_agg_hourly"], count),
         "host_agg_salted": (qs["host_agg_salted"], collect),

@@ -10,6 +10,8 @@ recombination is exactly associative — no float-order hazards.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,4 +120,74 @@ def host_agg_salted(parsed: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS) -> D
     )
     return partial.groupBy("host").agg(
         F.sum("_n").alias("n_rows"), F.sum("_chars").alias("total_msg_chars")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 10,
+    capacity: int = 256,
+    exact_counts: bool = True,
+) -> DataFrame:
+    """Top-k heavy hitters over a huge key space (urls, hosts) WITHOUT
+    shuffling every distinct key — the Misra-Gries candidate pass + exact
+    recount pattern (Misra & Gries 1982; merge rule from Agarwal et al.
+    2013 "Mergeable Summaries").
+
+    Plan shape: (1) one map-only Arrow pass builds an MG(capacity) summary
+    PER PARTITION (≤ capacity rows emitted each — the shuffle carries at
+    most capacity × numPartitions rows, independent of key cardinality);
+    (2) keywise sum merges the summaries (a valid MG merge — each counter
+    underestimates by ≤ N/(capacity+1) in total); (3) with
+    ``exact_counts``, a second scan recounts ONLY the candidate keys via a
+    broadcast semi-join and returns the true top-k of those. Pigeonhole
+    guarantees every key with true frequency > N/(capacity+1) survives
+    into the candidate set (it must exceed the per-partition threshold
+    somewhere), so the result IS the exact top-k whenever the k-th true
+    frequency clears that bound — at web scale, host/url heads clear it by
+    orders of magnitude. A plain ``groupBy(key).count().orderBy(...)``
+    shuffles one row per DISTINCT key (billions of urls); this shuffles
+    ≤ capacity × partitions + the candidate recount.
+
+    With ``exact_counts=False`` the merged lower bounds themselves are
+    returned (one pass, counts may under-report by ≤ N/(capacity+1)).
+
+    Columns: ``key string, cnt long`` ordered (cnt desc, key asc).
+    Reference scope note: the reference's per-source/severity histograms
+    (aggregator/logs.py, SURVEY §2.4 A2/A3) are tiny-domain counts; this is
+    the same "count by key, read the head" semantics for keys too numerous
+    to aggregate exactly everywhere."""
+    if capacity < 1 or k < 1:
+        raise ValueError("k and capacity must be >= 1")
+
+    def _mg_batches(batches):
+        from logagg.refsketch import misra_gries_update_py
+
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            summary = misra_gries_update_py(
+                summary, {str(kk): int(v) for kk, v in vc.items()}, capacity
+            )
+        if summary:
+            yield pd.DataFrame(
+                {"key": list(summary.keys()), "cnt": list(summary.values())}
+            )
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    summaries = keyed.mapInPandas(_mg_batches, "key string, cnt long")
+    merged = summaries.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    if not exact_counts:
+        return merged.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
+    candidates = merged.select("key")
+    return (
+        keyed.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
     )

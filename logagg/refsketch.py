@@ -359,3 +359,35 @@ def semantic_dedup_py(
         for id_, keep, mc in res:
             out[id_] = (c, keep, mc)
     return out
+
+
+def misra_gries_update_py(summary: dict, counts: dict, capacity: int) -> dict:
+    """One mergeable-summaries update step (Agarwal et al. 2013, §3.1 —
+    merging two Misra-Gries summaries): add ``counts`` into ``summary``
+    keywise, then if more than ``capacity`` keys remain, subtract the
+    (capacity+1)-th largest counter from every counter and drop the
+    non-positive ones. The result is a valid MG(capacity) summary of the
+    combined stream: every counter underestimates its key's true count by
+    at most N/(capacity+1), where N is the total items summarized.
+
+    Single-source kernel: the Spark partition kernel in
+    ``logagg.aggregate.heavy_hitters`` and the pure-Python twin both call
+    this, so differential tests pin one implementation."""
+    for key, cnt in counts.items():
+        summary[key] = summary.get(key, 0) + int(cnt)
+    if len(summary) > capacity:
+        # (capacity+1)-th largest value; ties broken by magnitude only —
+        # subtracting it preserves the MG error bound regardless of which
+        # keys share the boundary value
+        cut = sorted(summary.values(), reverse=True)[capacity]
+        summary = {k: v - cut for k, v in summary.items() if v - cut > 0}
+    return summary
+
+
+def misra_gries_py(keys, capacity: int) -> dict:
+    """MG(capacity) summary of an iterable — the twin for partition kernels.
+    Batching through a Counter first matches the Arrow kernel's
+    value_counts-then-merge shape exactly."""
+    from collections import Counter
+
+    return misra_gries_update_py({}, dict(Counter(keys)), capacity)

@@ -1,0 +1,108 @@
+"""Misra-Gries heavy hitters: kernel algebra, exactness regimes, plan shape."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from logagg import aggregate
+from logagg.refsketch import misra_gries_py, misra_gries_update_py
+
+
+def test_mg_kernel_hand_case():
+    # capacity 2, stream a a a b b c -> c's arrival truncates at the 3rd
+    # largest (1): a:3->2, b:2->1, c dropped
+    s = misra_gries_update_py({}, {"a": 3, "b": 2}, 2)
+    assert s == {"a": 3, "b": 2}
+    s = misra_gries_update_py(s, {"c": 1}, 2)
+    assert s == {"a": 2, "b": 1}
+
+
+def test_mg_kernel_error_bound():
+    rng = random.Random(7)
+    stream = [f"k{rng.randint(0, 40)}" for _ in range(5000)] + ["hot"] * 800
+    rng.shuffle(stream)
+    true = {}
+    for x in stream:
+        true[x] = true.get(x, 0) + 1
+    for cap in (4, 16, 64):
+        s = misra_gries_py(stream, cap)
+        assert len(s) <= cap
+        bound = len(stream) / (cap + 1)
+        for key, est in s.items():
+            assert true[key] - bound <= est <= true[key]
+        if len(stream) // (cap + 1) < 800:
+            assert "hot" in s  # guaranteed above the threshold
+
+
+def test_heavy_hitters_exact_when_capacity_covers(spark):
+    rows = [(f"h{i % 7}",) for i in range(200)] + [("h0",)] * 50
+    df = spark.createDataFrame(rows, "host string")
+    got = [(r["key"], r["cnt"]) for r in aggregate.heavy_hitters(df, "host", k=3, capacity=64).collect()]
+    want = [
+        (r["host"], r["cnt"])
+        for r in df.groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("host"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
+    # capacity covers every distinct key -> even the one-pass lower bounds are exact
+    got1 = [
+        (r["key"], r["cnt"])
+        for r in aggregate.heavy_hitters(
+            df, "host", k=3, capacity=64, exact_counts=False
+        ).collect()
+    ]
+    assert got1 == want
+
+
+def test_heavy_hitters_exact_on_skew_with_tiny_capacity(spark):
+    # Zipf-ish head over a 500-key tail; capacity 8 << 500 distinct keys.
+    # The head frequencies are far above N/(capacity+1), so the two-pass
+    # result must equal the exact top-k.
+    rng = random.Random(11)
+    rows = (
+        [("top1",)] * 400
+        + [("top2",)] * 300
+        + [("top3",)] * 200
+        + [(f"tail{rng.randint(0, 499)}",) for _ in range(600)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "url string").repartition(8)
+    got = [
+        (r["key"], r["cnt"])
+        for r in aggregate.heavy_hitters(df, "url", k=3, capacity=8).collect()
+    ]
+    assert got[:3] == [("top1", 400), ("top2", 300), ("top3", 200)]
+
+
+def test_heavy_hitters_lower_bounds_one_pass(spark):
+    rows = [("hot",)] * 900 + [(f"t{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {
+        r["key"]: r["cnt"]
+        for r in aggregate.heavy_hitters(
+            df, "k", k=1, capacity=16, exact_counts=False
+        ).collect()
+    }
+    n = len(rows)
+    assert set(got) == {"hot"}
+    assert 900 - n / 17 <= got["hot"] <= 900
+
+
+def test_heavy_hitters_plan_shape(spark):
+    df = spark.createDataFrame([("a",)], "host string")
+    plan = aggregate.heavy_hitters(df, "host", k=2, capacity=4)._jdf.queryExecution().executedPlan().toString()
+    # candidate recount joins via broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_nulls_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "host string")
+    got = [(r["key"], r["cnt"]) for r in aggregate.heavy_hitters(df, "host", k=5, capacity=4).collect()]
+    assert got == [("a", 2)]
+    with pytest.raises(ValueError):
+        aggregate.heavy_hitters(df, "host", k=0)
