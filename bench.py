@@ -642,9 +642,26 @@ def _headline():
         )
         return agg.heavy_hitters(hosts, "host", k=20, capacity=256)
 
+    def dsir_run(spark, sf_dir):
+        # DSIR selection shape: two bounded model fits (partial+final agg,
+        # shuffle <= buckets rows) + one broadcast map-only scoring pass +
+        # TakeOrdered top-k. Target = a content-independent 1-in-20 slice.
+        from pyspark.sql import functions as F
+
+        from logagg import dsir
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        target = docs.filter(
+            F.crc32(F.col("doc_id").cast("binary")) % 20 == 0
+        ).select("text")
+        return dsir.dsir_select(docs, target, k=100, buckets=10_000)
+
     return {
         "parse_records": (qs["parse_records"], count),
         "heavy_hitters_hosts": (hh_run, collect),
+        "dsir_select": (dsir_run, collect),
         "curate_e2e": (curate_run, count_unpersist),
         "sink_agg_hourly": (qs["sink_agg_hourly"], count),
         "host_agg_salted": (qs["host_agg_salted"], collect),

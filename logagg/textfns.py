@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import re
+import zlib
 
 from logagg.schemas import (
     FP_BASE,
@@ -568,3 +569,38 @@ def c4_filter_py(
         lowered = {w.lower() for w in bad_words}
         keep_doc = not (set(tokens(text.lower())) & lowered)
     return kept_text, dropped, n_sent, keep_doc
+
+
+def hashed_ngrams_py(text: str, buckets: int) -> list[int]:
+    """Hashed unigram+bigram bag features (the DSIR feature map, Xie et
+    al. 2023 §3): lowercase, ASCII-ws tokenize, hash each unigram and
+    adjacent bigram into ``buckets`` via crc32. Single-source kernel —
+    the Spark Arrow pass and the Python twin both call this, so bucket
+    ids agree bit-for-bit."""
+    toks = tokens((text or "").lower())
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [zlib.crc32(g.encode("utf-8")) % buckets for g in grams]
+
+
+def gumbel_py(seed: str, doc_id) -> float:
+    """Deterministic standard-Gumbel draw keyed by (seed, id): the
+    md5-uniform recentered to (h+0.5)/2^32 — never exactly 0 or 1, so the
+    double log is always finite. Exact in a double (numerator < 2^33 over
+    a power of two), hence bit-identical across engines."""
+    import hashlib
+    import math
+
+    h = int(hashlib.md5(f"{seed}:{doc_id}".encode("utf-8")).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    return -math.log(-math.log(u))
+
+
+def dsir_logw_py(bucket_ids: list[int], log_ratio) -> float:
+    """Left-fold importance log-weight: sum of per-occurrence
+    log p_target(b) − log p_raw(b) lookups, in feature order. The fold
+    order is part of the contract (float addition is not associative);
+    both engines call this one function."""
+    s = 0.0
+    for b in bucket_ids:
+        s += float(log_ratio[b])
+    return s

@@ -194,15 +194,32 @@ def model_ops_plan_contract(spark) -> list[str]:
         if "MapInPandas" not in plan:
             failures.append(f"{name}: no MapInPandas node (Arrow kernel missing)")
 
+    # dsir scoring rides the same broadcast-model + map-only contract
+    import numpy as np
+
+    from logagg import dsir
+
+    dplan = (
+        dsir.with_importance(docs, np.zeros(64), seed="plan")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    if "Exchange" in dplan:
+        failures.append("dsir.with_importance: plan contains an Exchange (must be map-only)")
+    if "MapInPandas" not in dplan:
+        failures.append("dsir.with_importance: no MapInPandas node (Arrow kernel missing)")
+
     for name, df, key in (
         ("lm.unigram_counts", lm.unigram_counts(docs), "token"),
         ("bpe.word_counts", bpe.word_counts(docs), "word"),
+        ("dsir.hash_feature_counts", dsir.hash_feature_counts(docs, buckets=64), "bucket"),
     ):
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        if not re.search(r"partial_count", plan):
+        if not re.search(r"partial_(count|sum)", plan):
             failures.append(f"{name}: no partial aggregate before the shuffle")
         if not re.search(rf"hashpartitioning\({key}", plan):
             failures.append(f"{name}: exchange not hash-partitioned on {key}")
