@@ -658,10 +658,34 @@ def _headline():
         ).select("text")
         return dsir.dsir_select(docs, target, k=100, buckets=10_000)
 
+    def c4_run(spark, sf_dir):
+        # C4 line/doc heuristics over the full pages corpus: one Catalyst
+        # projection (line filter + sentence count), zero shuffles. The
+        # log-styled corpus has no terminal punctuation (every doc would
+        # drop, rows=0), so a deterministic Catalyst doctor appends '.' to
+        # every even line first — the op then exercises keeps AND drops.
+        from pyspark.sql import functions as F
+
+        from logagg import textstats as ts
+
+        pages = entrymod._pages(spark, sf_dir).select("url", "text")
+        doctored = pages.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", "\n"),
+                    lambda ln, i: F.when(i % 2 == 0, F.concat(ln, F.lit("."))).otherwise(ln),
+                ),
+                "\n",
+            ),
+        )
+        return ts.c4_filters(doctored, min_sentences=1)
+
     return {
         "parse_records": (qs["parse_records"], count),
         "heavy_hitters_hosts": (hh_run, collect),
         "dsir_select": (dsir_run, collect),
+        "c4_filters": (c4_run, count),
         "curate_e2e": (curate_run, count_unpersist),
         "sink_agg_hourly": (qs["sink_agg_hourly"], count),
         "host_agg_salted": (qs["host_agg_salted"], collect),

@@ -191,3 +191,56 @@ def heavy_hitters(
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(k)
     )
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, *, depth: int = 4, width: int = 2048
+) -> "np.ndarray":
+    """Distributed Count-Min sketch of a key column (Cormode &
+    Muthukrishnan 2005): every partition folds its keys into a local
+    ``int64[depth, width]`` register block in one map-only Arrow pass,
+    blocks merge by cellwise integer sum (exactly associative — the
+    shuffle carries ≤ depth × width rows total, independent of both
+    corpus size and key cardinality), and the driver assembles the final
+    ``depth × width`` matrix (bounded by construction, like the LM /
+    DSIR model collects).
+
+    The sketch answers point frequency queries with one-sided error:
+    estimate ≥ true count always, ≤ true + 2N/width per row in
+    expectation. The dual of :func:`heavy_hitters` (MG underestimates,
+    CM overestimates) — together they bracket a key's true frequency
+    from a sketch many orders smaller than the key space. Kernels are
+    single-sourced in ``logagg.refsketch`` (``countmin_*_py``), so the
+    Python twin is bit-identical."""
+    import numpy as np
+
+    from logagg.refsketch import countmin_build_py
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+
+    def _batches(batches):
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            acc += countmin_build_py(
+                {str(k): int(v) for k, v in vc.items()}, depth, width
+            )
+        nz = np.nonzero(acc)
+        if len(nz[0]):
+            yield pd.DataFrame(
+                {"row": nz[0], "col": nz[1], "cnt": acc[nz]}
+            )
+
+    cells = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .mapInPandas(_batches, "row int, col int, cnt long")
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()  # bounded: <= depth * width rows by construction
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        mat[r["row"], r["col"]] = r["cnt"]
+    return mat

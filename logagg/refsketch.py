@@ -391,3 +391,32 @@ def misra_gries_py(keys, capacity: int) -> dict:
     from collections import Counter
 
     return misra_gries_update_py({}, dict(Counter(keys)), capacity)
+
+
+def countmin_bucket_py(key: str, row: int, width: int) -> int:
+    """Row-j bucket of ``key`` in a Count-Min sketch: crc32 of "<j>:<key>"
+    mod width. Single-source kernel shared by the Spark partition pass and
+    the Python twin — bucket ids agree bit-for-bit."""
+    return zlib.crc32(f"{row}:{key}".encode("utf-8")) % width
+
+
+def countmin_build_py(counts: dict, depth: int, width: int) -> np.ndarray:
+    """Dense ``int64[depth, width]`` Count-Min registers (Cormode &
+    Muthukrishnan 2005) from exact key counts. Register merge is cellwise
+    integer addition — exactly associative and commutative, so
+    build(A) + build(B) == build(A ⊎ B) bit-for-bit (the mergeability
+    test pins this)."""
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for key, cnt in counts.items():
+        for j in range(depth):
+            mat[j, countmin_bucket_py(str(key), j, width)] += int(cnt)
+    return mat
+
+
+def countmin_query_py(mat: np.ndarray, key: str) -> int:
+    """Point estimate: min over rows — always >= the true count, and
+    <= true + 2N/width per row in expectation (classic CM bound)."""
+    depth, width = mat.shape
+    return int(
+        min(mat[j, countmin_bucket_py(str(key), j, width)] for j in range(depth))
+    )

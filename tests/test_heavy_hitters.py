@@ -106,3 +106,48 @@ def test_heavy_hitters_nulls_and_validation(spark):
     assert got == [("a", 2)]
     with pytest.raises(ValueError):
         aggregate.heavy_hitters(df, "host", k=0)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+
+def test_countmin_build_matches_twin_and_overestimates(spark):
+    import numpy as np
+
+    from logagg.refsketch import countmin_build_py, countmin_query_py
+
+    rng = random.Random(5)
+    rows = [(f"k{rng.randint(0, 99)}",) for _ in range(3000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string").repartition(6)
+    mat = aggregate.count_min_build(df, "k", depth=4, width=512)
+    true = {}
+    for (x,) in rows:
+        true[x] = true.get(x, 0) + 1
+    # bit-identical to the single-machine twin (integer adds commute)
+    assert (mat == countmin_build_py(true, 4, 512)).all()
+    n = len(rows)
+    for key, t in true.items():
+        est = countmin_query_py(mat, key)
+        assert t <= est <= t + 4 * n // 512 + 50  # one-sided, bounded error
+    assert countmin_query_py(mat, "hot") == 500 or countmin_query_py(mat, "hot") > 500
+
+
+def test_countmin_merge_equals_single_pass(spark):
+    from logagg.refsketch import countmin_build_py
+
+    a = {"x": 10, "y": 3}
+    b = {"x": 5, "z": 7}
+    merged = countmin_build_py(a, 3, 64) + countmin_build_py(b, 3, 64)
+    whole = countmin_build_py({"x": 15, "y": 3, "z": 7}, 3, 64)
+    assert (merged == whole).all()
+
+
+def test_countmin_exact_when_wide(spark):
+    from logagg.refsketch import countmin_query_py
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    mat = aggregate.count_min_build(df, "k", depth=4, width=4096)
+    # width >> keys: collisions vanish, estimates are exact
+    assert [countmin_query_py(mat, k) for k in "abc"] == [7, 3, 1]
+    assert countmin_query_py(mat, "never-seen") == 0
