@@ -1213,3 +1213,122 @@ def dedup_paragraphs(
         .cast("int")
         .alias("n_paras_dropped"),
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    stop: frozenset = frozenset(),
+    materialize: str = "local",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: training docs NEAR-duplicate to an
+    evaluation document (shingle Jaccard >= ``threshold``), found via the
+    MinHash-LSH banding used for corpus dedup. Complements
+    :func:`decontaminate` (exact 13-gram overlap, GPT-3 style): paraphrased
+    or partially-copied eval material shares few verbatim 13-grams but
+    keeps a high shingle Jaccard.
+
+    Returns one row per contaminated (doc, benchmark item) pair:
+    (id_col, bench_id, shared, na, nb) with ``bench_id`` =
+    md5(benchmark text). Precision is exact (candidates are verified with
+    integer-exact Jaccard); recall follows the 16x4 banding curve.
+
+    100 TB shape: the benchmark band table is tiny and BROADCAST, so the
+    corpus pays one Arrow band pass + a map-side candidate probe; exact
+    shingles are then recomputed for CANDIDATE docs only (semi-join cut)
+    and for the benchmark side. No corpus-scale shuffle, no self-join.
+    ``stop`` should be the corpus stop-shingle set when dedup already
+    computed one — both sides must use the SAME set (effective-shingle
+    semantics are defined jointly)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p, q = frac.numerator, frac.denominator  # J >= p/q <=> (p+q)*shared >= p*(na+nb)
+
+    btext = bench_text_col or text_col
+    bench = (
+        benchmark.select(
+            F.md5(F.col(btext).cast("binary")).alias("id"),
+            F.col(btext).alias("text"),
+        )
+        .dropDuplicates(["id"])
+    )
+    bench_bands = bench.mapInPandas(
+        _band_batches_fn(stop), schema="id string, band int, key binary"
+    ).select(F.col("id").alias("bid"), "band", "key")
+
+    src = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    doc_bands = src.mapInPandas(
+        _band_batches_fn(stop), schema="id string, band int, key binary"
+    )
+    cands = (
+        doc_bands.join(F.broadcast(bench_bands), ["band", "key"])
+        .select("id", "bid")
+        .distinct()
+        .persist()  # reused for the semi-join AND the verify join
+    )
+    try:
+        cand_docs = src.join(
+            F.broadcast(cands.select("id").distinct()), "id", "left_semi"
+        )
+        sh_d = shingles(cand_docs, "id", "text", stop=stop)
+        sh_b = shingles(bench, "id", "text", stop=stop).select(
+            F.col("id").alias("bid"), "shingle"
+        )
+        sizes_d = sh_d.groupBy("id").agg(F.count("*").alias("na"))
+        sizes_b = sh_b.groupBy("bid").agg(F.count("*").alias("nb"))
+        shared = (
+            cands.join(sh_d, "id")
+            .join(F.broadcast(sh_b), ["bid", "shingle"])
+            .groupBy("id", "bid")
+            .agg(F.count("*").alias("shared"))
+        )
+        out = (
+            shared.join(sizes_d, "id")
+            .join(F.broadcast(sizes_b), "bid")
+            .filter(
+                F.lit(p + q) * F.col("shared") >= F.lit(p) * (F.col("na") + F.col("nb"))
+            )
+            .select(
+                F.col("id").alias(id_col),
+                F.col("bid").alias("bench_id"),
+                "shared",
+                "na",
+                "nb",
+            )
+        )
+        return util.materialize(out, materialize, out_path)
+    finally:
+        cands.unpersist()
+
+
+def filter_contaminated_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    stop: frozenset = frozenset(),
+) -> DataFrame:
+    """Docs with fuzzy-contaminated rows removed (anti-join on the bounded
+    contaminated-id set)."""
+    bad = decontaminate_fuzzy(
+        docs,
+        benchmark,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        bench_text_col=bench_text_col,
+        stop=stop,
+    ).select(id_col).distinct()
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -420,3 +420,52 @@ def countmin_query_py(mat: np.ndarray, key: str) -> int:
     return int(
         min(mat[j, countmin_bucket_py(str(key), j, width)] for j in range(depth))
     )
+
+
+def expected_fuzzy_contamination(
+    doc_ids: list[str],
+    doc_texts: list[str],
+    bench_texts: list[str],
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    stop: frozenset = frozenset(),
+) -> set[tuple[str, str, int, int, int]]:
+    """Twin of dedup.decontaminate_fuzzy: cross-corpus LSH candidates
+    (same 64-perm 16x4 banding) verified with exact Jaccard >= num/den.
+    Returns {(doc_id, bench_md5, shared, na, nb)}."""
+    a, b = _perms()
+
+    def bands_of(text) -> tuple[set, list[tuple[int, tuple]]]:
+        s = textfns.shingle_set(text) if isinstance(text, str) else set()
+        s.discard("")
+        s -= stop
+        if not s:
+            return s, []
+        x = np.fromiter(
+            (zlib.crc32(sh.encode("utf-8")) for sh in s), dtype=np.int64, count=len(s)
+        )
+        sig = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_MERSENNE).min(axis=1)
+        keys = [
+            (band, tuple(int(v) for v in sig[band * MINHASH_LSH_ROWS : (band + 1) * MINHASH_LSH_ROWS]))
+            for band in range(MINHASH_LSH_BANDS)
+        ]
+        return s, keys
+
+    bench: dict[str, tuple[set, set]] = {}
+    for t in bench_texts:
+        bid = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        if bid not in bench:
+            s, keys = bands_of(t)
+            bench[bid] = (s, set(keys))
+    out: set[tuple[str, str, int, int, int]] = set()
+    p, q = threshold_num, threshold_den
+    for did, dt in zip(doc_ids, doc_texts):
+        s, keys = bands_of(dt)
+        for bid, (bs, bkeys) in bench.items():
+            if not (set(keys) & bkeys):
+                continue
+            shared = len(s & bs)
+            na, nb = len(s), len(bs)
+            if (p + q) * shared >= p * (na + nb):
+                out.add((str(did), bid, shared, na, nb))
+    return out

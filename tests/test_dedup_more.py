@@ -201,3 +201,56 @@ def test_shingle_digest_mode_is_md5_of_string_mode(spark):
         (i, hashlib.md5(s.encode("utf-8")).digest()) for i, s in strings
     )
     assert digests == expect and len(digests) > 0
+
+
+# ------------------------------------------------- fuzzy decontamination
+
+
+def _fuzz_corpus(spark, pages_cache):
+    pages = (
+        spark.read.parquet(str(pages_cache / "pages.parquet"))
+        .select("url", "text")
+        .limit(200)
+        .collect()
+    )
+    ids = [r["url"] for r in pages]
+    texts = [r["text"] for r in pages]
+    # bench items: one verbatim copy, one light paraphrase (first 3 tokens
+    # swapped for new ones -> still Jaccard >= 0.8 on 5-shingles of a long
+    # doc), one unrelated
+    toks = texts[7].split()
+    bench = [
+        texts[3],
+        " ".join(["totally", "novel", "prefix"] + toks[3:]),
+        "completely unrelated benchmark text about cooking flour and ovens",
+    ]
+    return ids, texts, bench
+
+
+def test_decontaminate_fuzzy_matches_twin(spark, pages_cache):
+    from logagg import dedup
+    from logagg.refsketch import expected_fuzzy_contamination
+
+    ids, texts, bench = _fuzz_corpus(spark, pages_cache)
+    docs = spark.createDataFrame(list(zip(ids, texts)), "doc_id string, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    got = {
+        (r["doc_id"], r["bench_id"], r["shared"], r["na"], r["nb"])
+        for r in dedup.decontaminate_fuzzy(docs, bdf).collect()
+    }
+    want = expected_fuzzy_contamination(ids, texts, bench)
+    assert got == want
+    hit_docs = {d for d, *_ in got}
+    assert ids[3] in hit_docs  # verbatim copy found
+    assert ids[7] in hit_docs  # paraphrase found (the exact-13-gram op's blind spot)
+
+
+def test_filter_contaminated_fuzzy_removes_hits(spark, pages_cache):
+    from logagg import dedup
+
+    ids, texts, bench = _fuzz_corpus(spark, pages_cache)
+    docs = spark.createDataFrame(list(zip(ids, texts)), "doc_id string, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    hit = {r["doc_id"] for r in dedup.decontaminate_fuzzy(docs, bdf).collect()}
+    kept = {r["doc_id"] for r in dedup.filter_contaminated_fuzzy(docs, bdf).collect()}
+    assert kept == set(ids) - hit and hit
