@@ -64,6 +64,9 @@ def main() -> None:
                     help="cut corpus-repeated n-token runs (exact-substring dedup)")
     ap.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
     ap.add_argument("--ngram-n", type=int, default=13)
+    ap.add_argument("--fuzzy-decontaminate", action="store_true",
+                    help="also near-dup match against the benchmark (minhash)")
+    ap.add_argument("--fuzzy-threshold", type=float, default=0.8)
     ap.add_argument("--domain-cap", type=int, default=None)
     ap.add_argument("--pack", type=int, default=None, help="context-window capacity")
     ap.add_argument("--stage-dir", default=None)
@@ -130,6 +133,8 @@ def main() -> None:
         substring_n=args.substring_n,
         benchmark=benchmark,
         ngram_n=args.ngram_n,
+        fuzzy_decontaminate=args.fuzzy_decontaminate,
+        fuzzy_threshold=args.fuzzy_threshold,
         domain_cap=args.domain_cap,
         pack_capacity=args.pack,
         materialize_dir=args.stage_dir,

@@ -98,6 +98,8 @@ def curate(
     substring_n: int | None = None,
     benchmark: DataFrame | None = None,
     ngram_n: int = 13,
+    fuzzy_decontaminate: bool = False,
+    fuzzy_threshold: float = 0.8,
     domain_cap: int | None = None,
     pack_capacity: int | None = None,
     materialize_dir: str | None = None,
@@ -341,6 +343,19 @@ def curate(
                 d, benchmark, n=ngram_n, id_col=id_col, text_col=text_col
             ),
         )
+        if fuzzy_decontaminate:
+            # second pass for paraphrased/partial eval material the exact
+            # 13-gram probe misses (near-dup by shingle Jaccard)
+            step(
+                "decontaminate_fuzzy",
+                lambda d: dedup.filter_contaminated_fuzzy(
+                    d,
+                    benchmark,
+                    threshold=fuzzy_threshold,
+                    id_col=id_col,
+                    text_col=text_col,
+                ),
+            )
     if domain_cap is not None:
         if url_col is None:
             raise ValueError("domain_cap requires url_col")

@@ -307,3 +307,29 @@ def test_c4_stage(spark):
     out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
     assert set(out) == {"d1"} and out["d1"] == good
     assert res.docs.columns == docs.columns  # accounting cols dropped
+
+
+def test_fuzzy_decontaminate_stage(spark, crafted):
+    # near-copy of doc 0's text (drop the first two tokens) as the eval item:
+    # exact 13-gram decontamination also fires on it, so craft the bench text
+    # SHORT enough to share no 13-gram but keep shingle Jaccard >= 0.8
+    base = crafted.collect()[0]["text"]
+    toks = base.split()
+    para = " ".join(toks[2:])
+    bench = spark.createDataFrame([(para,)], "text string")
+    only_exact = curate.curate(
+        crafted, benchmark=bench, ngram_n=10_000, exact_dedup=False
+    )
+    both = curate.curate(
+        crafted,
+        benchmark=bench,
+        ngram_n=10_000,  # exact probe neutered (no doc has 10k tokens)
+        fuzzy_decontaminate=True,
+        exact_dedup=False,
+    )
+    stages = [m["stage"] for m in both.manifest]
+    assert stages == ["decontaminate", "decontaminate_fuzzy"]
+    kept_exact = {r["doc_id"] for r in only_exact.docs.collect()}
+    kept_both = {r["doc_id"] for r in both.docs.collect()}
+    dropped_by_fuzzy = kept_exact - kept_both
+    assert crafted.collect()[0]["doc_id"] in dropped_by_fuzzy
