@@ -123,6 +123,35 @@ def host_agg_salted(parsed: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS) -> D
     )
 
 
+def mg_summary(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Merged Misra-Gries lower-bound counters for a key column:
+    one map-only Arrow pass builds an MG(capacity) summary per partition
+    (≤ capacity rows each), a keywise sum merges them (valid MG merge —
+    total underestimate ≤ N/(capacity+1)). Result is (key, cnt) with at
+    most capacity × numPartitions rows. Shared by :func:`heavy_hitters`
+    and the streaming accumulator."""
+
+    def _mg_batches(batches):
+        from logagg.refsketch import misra_gries_update_py
+
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            summary = misra_gries_update_py(
+                summary, {str(kk): int(v) for kk, v in vc.items()}, capacity
+            )
+        if summary:
+            yield pd.DataFrame(
+                {"key": list(summary.keys()), "cnt": list(summary.values())}
+            )
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    summaries = keyed.mapInPandas(_mg_batches, "key string, cnt long")
+    return summaries.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -161,26 +190,10 @@ def heavy_hitters(
     to aggregate exactly everywhere."""
     if capacity < 1 or k < 1:
         raise ValueError("k and capacity must be >= 1")
-
-    def _mg_batches(batches):
-        from logagg.refsketch import misra_gries_update_py
-
-        summary: dict = {}
-        for pdf in batches:
-            vc = pdf["key"].value_counts()
-            summary = misra_gries_update_py(
-                summary, {str(kk): int(v) for kk, v in vc.items()}, capacity
-            )
-        if summary:
-            yield pd.DataFrame(
-                {"key": list(summary.keys()), "cnt": list(summary.values())}
-            )
-
     keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
         F.col("key").isNotNull()
     )
-    summaries = keyed.mapInPandas(_mg_batches, "key string, cnt long")
-    merged = summaries.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    merged = mg_summary(df, key_col, capacity)
     if not exact_counts:
         return merged.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
     candidates = merged.select("key")

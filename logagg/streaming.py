@@ -337,3 +337,89 @@ def run_sessions_tws_to_memory(
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "url",
+    capacity: int = 256,
+    max_files_per_trigger: int = 8,
+) -> dict[str, int]:
+    """Continuously maintained Misra-Gries heavy-hitter summary over a
+    parquet file stream — the streaming form of
+    ``aggregate.heavy_hitters``'s candidate pass. Each micro-batch is
+    folded distributed (``aggregate.mg_summary``: map-only Arrow pass +
+    bounded keywise merge), then the ≤ capacity-row state is updated
+    driver-side with the same single-source merge kernel
+    (``refsketch.misra_gries_update_py``) and committed ATOMICALLY as
+    ``<state_dir>/state-<batch_id>.json`` — one rename is both the state
+    write and the replay marker, so a replayed batch id is skipped
+    without a separate ledger and the state transition is exactly-once
+    (contrast run_streaming_route_multiplex, whose sink append and marker
+    are two steps with a documented at-least-once window).
+
+    The MG error contract survives streaming: state(after batches B1..Bn)
+    is a valid MG(capacity) summary of the concatenated stream, every
+    counter underestimating by ≤ N_total/(capacity+1); with capacity ≥
+    total distinct keys the counts are exact and equal the batch operator
+    (pytest-pinned). Returns the final summary dict."""
+    import json
+    from pathlib import Path
+
+    from logagg import aggregate
+    from logagg.refsketch import misra_gries_update_py
+
+    state_path = Path(state_dir)
+    state_path.mkdir(parents=True, exist_ok=True)
+
+    def _state_files() -> list[tuple[int, Path]]:
+        out = []
+        for p in state_path.glob("state-*.json"):
+            try:
+                out.append((int(p.stem.split("-")[1]), p))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def _current_state() -> dict[str, int]:
+        files = _state_files()
+        return json.loads(files[-1][1].read_text()) if files else {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = state_path / f"state-{batch_id}.json"
+        if marker.exists():  # replayed batch: state already includes it
+            return
+        batch_counts = {
+            r["key"]: r["cnt"]
+            for r in aggregate.mg_summary(batch_df, key_col, capacity).collect()
+        }
+        new_state = misra_gries_update_py(_current_state(), batch_counts, capacity)
+        tmp = marker.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(new_state))
+        tmp.rename(marker)  # atomic: state commit == replay marker
+        # prune: every state file doubles as a replay marker, so keep a
+        # GENEROUS tail (64 batches) — old enough to outlive any plausible
+        # replay window while the directory stays O(capacity x 64) bytes
+        for _, old in _state_files()[:-64]:
+            old.unlink(missing_ok=True)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _current_state()

@@ -185,3 +185,77 @@ def test_streaming_route_multiplex_equals_batch(spark, pages_cache, tmp_path):
     )
     assert counts2 == expected
     assert spark.read.parquet(str(tmp_path / "routed")).count() == total_before
+
+
+def test_streaming_heavy_hitters_equals_batch_and_replays(spark, tmp_path):
+    """With capacity >= total distinct keys the streamed MG state is exact,
+    so it must equal the batch groupBy counts; a full replay (fresh
+    checkpoint, same state dir) must not change the state — every batch id
+    hits its atomic state-file marker."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from logagg import streaming as st
+
+    src = tmp_path / "keys_stream"
+    src.mkdir()
+    rows = []
+    for i, mult in enumerate((5, 3, 1)):
+        batch = [(f"host{j % 10}.example",) for j in range(40 * mult)]
+        spark.createDataFrame(batch, "url string").coalesce(1).write.parquet(
+            str(src / f"part{i}"), mode="overwrite"
+        )
+        rows += batch
+    # NOTE: each part dir is a separate parquet "file tree"; point the
+    # stream at the glob so every part arrives as its own file set
+    state1 = st.run_streaming_heavy_hitters(
+        spark,
+        f"{src}/part*",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt1"),
+        key_col="url",
+        capacity=64,
+        max_files_per_trigger=1,
+    )
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    assert state1 == true  # capacity covers the key space -> exact
+    # replay from scratch: fresh checkpoint, batch ids restart at 0 and
+    # every one must be skipped by its marker
+    state2 = st.run_streaming_heavy_hitters(
+        spark,
+        f"{src}/part*",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt2"),
+        key_col="url",
+        capacity=64,
+        max_files_per_trigger=1,
+    )
+    assert state2 == state1
+    markers = sorted((tmp_path / "state").glob("state-*.json"))
+    assert len(markers) >= 2  # one atomic commit per applied batch
+    assert json.loads(markers[-1].read_text()) == true
+
+
+def test_streaming_heavy_hitters_error_bound_small_capacity(spark, tmp_path):
+    from logagg import streaming as st
+
+    src = tmp_path / "skew_stream"
+    src.mkdir()
+    rows = [("hot",)] * 300 + [(f"t{i}",) for i in range(200)]
+    spark.createDataFrame(rows, "url string").coalesce(2).write.parquet(
+        str(src / "part0"), mode="overwrite"
+    )
+    state = st.run_streaming_heavy_hitters(
+        spark,
+        f"{src}/part*",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        key_col="url",
+        capacity=8,
+    )
+    assert len(state) <= 8
+    n = len(rows)
+    assert "hot" in state and 300 - n / 9 <= state["hot"] <= 300
