@@ -469,3 +469,33 @@ def expected_fuzzy_contamination(
             if (p + q) * shared >= p * (na + nb):
                 out.add((str(did), bid, shared, na, nb))
     return out
+
+
+def kmeans_fit_py(
+    ids: list, vecs: list, k: int, iters: int = 10
+) -> np.ndarray:
+    """Twin of similarity.kmeans_fit: same hash-rank init, same GEMM-argmin
+    assignment and sum/count update. Float sum ORDER differs from the
+    distributed fold, so centroids agree to ~1e-9 (assignments exactly)."""
+    ranked = hash_sample_ids_py(ids, k)
+    by_id = {str(i): np.asarray(v, dtype=np.float64) for i, v in zip(ids, vecs)}
+    cents = np.array([by_id[str(i)] for i in ranked], dtype=np.float64)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    for _ in range(iters):
+        cn = (cents * cents).sum(axis=1)
+        a = (cn[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        new = cents.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = new
+    return cents
+
+
+def kmeans_assign_py(vecs: list, cents: np.ndarray) -> list[int]:
+    """Twin of similarity.kmeans_assign (np.argmin tie rule)."""
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    cn = (cents * cents).sum(axis=1)
+    return list((cn[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1))

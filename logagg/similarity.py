@@ -430,3 +430,136 @@ def semantic_dedup(
         schema=f"{id_col} {id_field}, cluster int, keep boolean, "
         "max_cos_kept double",
     )
+
+
+def _kmeans_init(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic seeds: the vectors of the k hash-rank-smallest ids,
+    IN hash-rank order (order is part of the quantizer spec)."""
+    ids = hash_sample_ids(embeddings, id_col, k)
+    if len(ids) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(ids)}")
+    rows = {
+        r["_id"]: r["_v"]
+        for r in embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .filter(F.col(id_col).isin(ids))
+        .collect()
+    }
+    return np.array([rows[i] for i in ids], dtype=np.float64)
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    *,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Per iteration: broadcast the (k × dim) centroid block, one map-only
+    Arrow pass assigns every vector by GEMM and pre-aggregates PER-BATCH
+    partial sums (cluster, dim, s) plus counts — the shuffle then carries
+    at most k × (dim + 1) rows per batch (map-side combine), never one row
+    per vector — and the driver assembles the bounded k × dim mean matrix.
+    Empty clusters keep their previous centroid (standard Lloyd).
+
+    Determinism: init is the content-independent hash-rank sample (exact);
+    iteration means are float sums whose addition ORDER depends on
+    partitioning, so centroids are reproducible to ~1e-9 (tests pin
+    assignment equality exactly and centroids by tolerance — same contract
+    as every distributed float mean). Promotes the driver-local
+    ``_kmeans_lite`` (IVF/SemDeDup quantizer training on a sample) to the
+    full corpus: this is the op a user runs when the quantizer must see
+    every vector, e.g. clustering an embedded corpus for inspection or
+    cluster-balanced sampling."""
+    cents = _kmeans_init(embeddings, k, id_col, vec_col)
+    src = embeddings.select(F.col(vec_col).alias("_v")).persist()
+    try:
+        dim = cents.shape[1]
+        for _ in range(iters):
+            bc = embeddings.sparkSession.sparkContext.broadcast(cents)
+
+            def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                C = bc.value
+                cn = (C * C).sum(axis=1)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.array(list(pdf["_v"]), dtype=np.float64)
+                    a = (cn[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+                    clusters, inv = np.unique(a, return_inverse=True)
+                    sums = np.zeros((len(clusters), X.shape[1]))
+                    np.add.at(sums, inv, X)
+                    counts = np.bincount(inv, minlength=len(clusters))
+                    out = {
+                        "cluster": np.repeat(clusters, X.shape[1]),
+                        "dim": np.tile(np.arange(X.shape[1]), len(clusters)),
+                        "s": sums.ravel(),
+                        "n": np.zeros(len(clusters) * X.shape[1], dtype=np.int64),
+                    }
+                    cnt_rows = {
+                        "cluster": clusters,
+                        "dim": np.full(len(clusters), -1),
+                        "s": np.zeros(len(clusters)),
+                        "n": counts,
+                    }
+                    yield pd.concat(
+                        [pd.DataFrame(out), pd.DataFrame(cnt_rows)], ignore_index=True
+                    )
+
+            rows = (
+                src.mapInPandas(_partials, "cluster int, dim int, s double, n long")
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()  # bounded: <= k * (dim + 1) rows by construction
+            )
+            new = cents.copy()
+            counts = np.zeros(k)
+            sums = np.zeros((k, dim))
+            for r in rows:
+                if r["dim"] == -1:
+                    counts[r["cluster"]] = r["n"]
+                else:
+                    sums[r["cluster"], r["dim"]] = r["s"]
+            nonempty = counts > 0
+            new[nonempty] = sums[nonempty] / counts[nonempty, None]
+            bc.unpersist()
+            cents = new
+        return cents
+    finally:
+        src.unpersist()
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-Euclidean,
+    ties to the lowest cluster index — np.argmin semantics, same as the
+    twin): broadcast + one map-only Arrow GEMM pass, zero shuffles.
+    Returns (id_col, cluster)."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            a = (cn[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["_id"].astype(str), "cluster": a.astype("int32")})
+
+    return embeddings.select(
+        F.col(id_col).cast("string").alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(_batches, "id string, cluster int").withColumnRenamed("id", id_col)

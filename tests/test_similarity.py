@@ -172,3 +172,64 @@ def test_semantic_dedup_corpus_kernel_consistency(spark):
     keeps = [k for _, k, _ in got.values()]
     assert sum(1 for k in keeps if not k) >= 5
     assert sum(keeps) >= len(vecs) - 10
+
+
+# ------------------------------------------------- distributed k-means
+
+
+def test_kmeans_fit_matches_twin(spark):
+    import numpy as np
+
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [r["embedding"] for r in rows]
+    got = similarity.kmeans_fit(emb, 8, iters=3)
+    want = refsketch.kmeans_fit_py(ids, vecs, 8, iters=3)
+    assert np.allclose(got, want, atol=1e-9)
+    # assignments must agree EXACTLY (argmin over near-identical centroids)
+    spark_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans_assign(emb, got).collect()
+    }
+    twin_assign = dict(
+        zip((str(i) for i in ids), refsketch.kmeans_assign_py(vecs, want))
+    )
+    assert spark_assign == twin_assign
+    assert len(set(spark_assign.values())) > 1  # actually clusters
+
+
+def test_kmeans_fit_partition_invariant(spark):
+    import numpy as np
+
+    from logagg import similarity
+
+    emb = _emb(spark)
+    a = similarity.kmeans_fit(emb.repartition(1), 5, iters=2)
+    b = similarity.kmeans_fit(emb.repartition(13), 5, iters=2)
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_kmeans_assign_tie_goes_to_lowest_index(spark):
+    import numpy as np
+
+    from logagg import similarity
+
+    df = spark.createDataFrame(
+        [("p", [0.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    cents = np.array([[1.0, 0.0], [-1.0, 0.0], [1.0, 0.0]])  # 0 and 2 tie with 1
+    got = similarity.kmeans_assign(df, cents).collect()
+    assert got[0]["cluster"] == 0
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    import pytest
+
+    from logagg import similarity
+
+    emb = _emb(spark).limit(4)
+    with pytest.raises(ValueError, match="exceeds"):
+        similarity.kmeans_fit(emb, 10, iters=1)
