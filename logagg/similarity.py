@@ -563,3 +563,37 @@ def kmeans_assign(
     return embeddings.select(
         F.col(id_col).cast("string").alias("_id"), F.col(vec_col).alias("_v")
     ).mapInPandas(_batches, "id string, cluster int").withColumnRenamed("id", id_col)
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k_clusters: int,
+    per_cluster: int,
+    *,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving corpus downsampling: cluster the embedding
+    space with :func:`kmeans_fit`, then keep at most ``per_cluster`` docs
+    from each cluster, chosen by the content-independent (md5(id), id)
+    rank — the cluster-balanced sampling step of embedding-curation
+    pipelines (cf. SemDeDup's cluster framing; uniform sampling
+    oversamples the head of the density, cluster caps flatten it).
+
+    Returns (id_col, cluster). Scale shape: k-means as documented on
+    :func:`kmeans_fit`; the cap is one row_number window PARTITIONED BY
+    cluster — k partitions, each bounded by the cluster population, never
+    a corpus-wide or single-partition sort."""
+    cents = kmeans_fit(
+        embeddings, k_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = kmeans_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .drop("_rn")
+    )

@@ -233,3 +233,30 @@ def test_kmeans_k_exceeds_corpus_raises(spark):
     emb = _emb(spark).limit(4)
     with pytest.raises(ValueError, match="exceeds"):
         similarity.kmeans_fit(emb, 10, iters=1)
+
+
+def test_cluster_balanced_sample(spark):
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    out = similarity.cluster_balanced_sample(emb, 6, 3, iters=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 3 for v in per.values())
+    assert len(per) > 1
+    # keeper rule: within a cluster, the hash-rank-smallest ids win
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [r["embedding"] for r in rows]
+    cents = refsketch.kmeans_fit_py(ids, vecs, 6, iters=2)
+    assign = dict(zip((str(i) for i in ids), refsketch.kmeans_assign_py(vecs, cents)))
+    by_cluster = {}
+    for i in ids:
+        by_cluster.setdefault(assign[str(i)], []).append(i)
+    want = {
+        c: set(str(x) for x in refsketch.hash_sample_ids_py(members, 3))
+        for c, members in by_cluster.items()
+    }
+    got = {c: set(v) for c, v in per.items()}
+    assert got == want
