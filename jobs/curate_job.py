@@ -68,6 +68,9 @@ def main() -> None:
                     help="also near-dup match against the benchmark (minhash)")
     ap.add_argument("--fuzzy-threshold", type=float, default=0.8)
     ap.add_argument("--domain-cap", type=int, default=None)
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-corpus parquet; keep the --dsir-k docs most like it")
+    ap.add_argument("--dsir-k", type=int, default=None)
     ap.add_argument("--pack", type=int, default=None, help="context-window capacity")
     ap.add_argument("--stage-dir", default=None)
     ap.add_argument("--resume", action="store_true")
@@ -136,6 +139,8 @@ def main() -> None:
         fuzzy_decontaminate=args.fuzzy_decontaminate,
         fuzzy_threshold=args.fuzzy_threshold,
         domain_cap=args.domain_cap,
+        dsir_target=(spark.read.parquet(args.dsir_target) if args.dsir_target else None),
+        dsir_k=args.dsir_k,
         pack_capacity=args.pack,
         materialize_dir=args.stage_dir,
         resume=args.resume,

@@ -101,6 +101,8 @@ def curate(
     fuzzy_decontaminate: bool = False,
     fuzzy_threshold: float = 0.8,
     domain_cap: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     pack_capacity: int | None = None,
     materialize_dir: str | None = None,
     resume: bool = False,
@@ -363,6 +365,21 @@ def curate(
             "domain_cap",
             lambda d: textstats.cap_per_domain(d, cap=domain_cap, id_col=url_col).drop("host"),
         )
+    if dsir_target is not None:
+        if dsir_k is None:
+            raise ValueError("dsir_target requires dsir_k")
+
+        def dsir_stage(d: DataFrame) -> DataFrame:
+            from logagg import dsir as dsirmod
+
+            # selection LAST (before packing): importance weights should be
+            # fit on the CLEANED pool, not raw crawl noise (the DSIR paper
+            # fits after its quality filter for the same reason)
+            return dsirmod.dsir_select(
+                d, dsir_target, k=dsir_k, id_col=id_col, text_col=text_col
+            ).drop("logw", "key")
+
+        step("dsir_select", dsir_stage)
     if pack_capacity is not None:
 
         def pack_stage(d: DataFrame) -> DataFrame:

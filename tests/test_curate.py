@@ -333,3 +333,15 @@ def test_fuzzy_decontaminate_stage(spark, crafted):
     kept_both = {r["doc_id"] for r in both.docs.collect()}
     dropped_by_fuzzy = kept_exact - kept_both
     assert crafted.collect()[0]["doc_id"] in dropped_by_fuzzy
+
+
+def test_dsir_stage(spark, crafted):
+    target = crafted.limit(1).select("text")
+    res = curate.curate(
+        crafted, exact_dedup=False, dsir_target=target, dsir_k=2
+    )
+    assert [m["stage"] for m in res.manifest] == ["dsir_select"]
+    out = res.docs.collect()
+    assert len(out) == 2 and res.docs.columns == crafted.columns
+    with pytest.raises(ValueError, match="dsir_k"):
+        curate.curate(crafted, exact_dedup=False, dsir_target=target)
