@@ -257,3 +257,54 @@ def count_min_build(
     for r in cells:
         mat[r["row"], r["col"]] = r["cnt"]
     return mat
+
+
+def bottomk_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Coordinated bottom-k sample (Cohen & Kaplan 2007 family): the k rows
+    whose ids rank smallest under (md5(str(id)), id) — the same
+    content-independent rule as ``similarity.hash_sample_ids``, kept as a
+    DataFrame so arbitrary payload columns ride along.
+
+    The sketch property that matters at 100 TB: bottom-k is EXACTLY
+    mergeable — bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — so
+    per-partition / per-day / per-corpus samples compose without resampling
+    and two corpora sampled with the same rule are COORDINATED (shared ids
+    are sampled together, enabling sketch-space joins/overlap estimates).
+    Plans as TakeOrdered (per-partition heads + tiny driver merge), never a
+    global sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.withColumn("_hr", F.md5(F.col(id_col).cast("string").cast("binary")))
+        .orderBy("_hr", F.col(id_col))
+        .limit(k)
+        .drop("_hr")
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    k: int,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> list:
+    """Quantile estimates from the bottom-k coordinated sample: type-1
+    (no interpolation — value at rank ceil(p·n), the repo's bit-portable
+    quantile rule) over the sampled values, NULLs excluded. Rank error is
+    O(1/sqrt(k)) with high probability since the hash-sample is uniform
+    over ids. Returns [(p, value)]. The sample collect is bounded by k."""
+    rows = [
+        r["_v"]
+        for r in bottomk_sample(df, id_col, k)
+        .select(F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .collect()
+    ]
+    rows.sort()
+    if not rows:
+        return [(p, None) for p in probs]
+    import math
+
+    return [(p, rows[max(0, math.ceil(p * len(rows)) - 1)]) for p in probs]

@@ -151,3 +151,61 @@ def test_countmin_exact_when_wide(spark):
     # width >> keys: collisions vanish, estimates are exact
     assert [countmin_query_py(mat, k) for k in "abc"] == [7, 3, 1]
     assert countmin_query_py(mat, "never-seen") == 0
+
+
+# ------------------------------------------------- bottom-k coordinated sample
+
+
+def test_bottomk_sample_mergeable_exactly(spark):
+    rows = [(f"id{i:04d}", float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, v double")
+    a, b = df.filter("v < 250"), df.filter("v >= 250")
+
+    def key(frame):
+        return sorted((r["doc_id"], r["v"]) for r in frame.collect())
+
+    whole = key(aggregate.bottomk_sample(df, "doc_id", 40))
+    merged = key(
+        aggregate.bottomk_sample(
+            aggregate.bottomk_sample(a, "doc_id", 40).union(
+                aggregate.bottomk_sample(b, "doc_id", 40)
+            ),
+            "doc_id",
+            40,
+        )
+    )
+    assert whole == merged and len(whole) == 40
+    # coordination: the sample is a pure function of ids — the same ids win
+    # regardless of payload
+    relabeled = spark.createDataFrame(
+        [(i, v * 100) for i, v in rows], "doc_id string, v double"
+    )
+    assert [i for i, _ in whole] == [
+        i for i, _ in key(aggregate.bottomk_sample(relabeled, "doc_id", 40))
+    ]
+
+
+def test_bottomk_matches_hash_sample_ids(spark):
+    from logagg.refsketch import hash_sample_ids_py
+
+    rows = [(f"u{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, v long")
+    got = {r["doc_id"] for r in aggregate.bottomk_sample(df, "doc_id", 10).collect()}
+    assert got == set(hash_sample_ids_py([i for i, _ in rows], 10))
+
+
+def test_sampled_quantiles_rank_error(spark):
+    rows = [(f"id{i:05d}", float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, v double")
+    for p, est in aggregate.sampled_quantiles(df, "v", "doc_id", k=400):
+        assert abs(est / 2000.0 - p) < 0.12  # O(1/sqrt(k)) rank error
+    # k >= n: the sample IS the population -> exact type-1 quantiles
+    exact = aggregate.sampled_quantiles(
+        df, "v", "doc_id", k=5000, probs=(0.5,)
+    )
+    assert exact == [(0.5, 999.0)]
+    # empty input
+    empty = df.filter("v < 0")
+    assert aggregate.sampled_quantiles(empty, "v", "doc_id", k=10, probs=(0.5,)) == [
+        (0.5, None)
+    ]
