@@ -308,3 +308,149 @@ def sampled_quantiles(
     import math
 
     return [(p, rows[max(0, math.ceil(p * len(rows)) - 1)]) for p in probs]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+
+def _bloom_hash(j, key, n_bits: int):
+    """Hash j of a key → bit index in [0, n_bits): the first 15 hex chars
+    (60 bits — exact in a BIGINT) of md5("<j>:<key>") mod n_bits. md5 over
+    xxhash64 deliberately: the identical bytes are computable in the Python
+    twin (and DuckDB), so registers are bit-exact across engines. Same
+    portability rule as :func:`logagg.mix.mix_uniform`."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"), key).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(n_bits))
+
+
+def _bloom_mask(h):
+    # shiftleft by a COLUMN amount — the pyspark wrapper only takes a
+    # literal int, so call the SQL function directly
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), h.bitwiseAND(F.lit(63)).cast("int")
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, n_bits: int = 1 << 20, n_hashes: int = 7
+) -> DataFrame:
+    """Distributed Bloom filter build (Bloom 1970): each key sets
+    ``n_hashes`` bits in an ``n_bits``-wide bitmap, kept SPARSE as
+    ``(word int, bits bigint)`` — word ``w`` holds bit indices
+    ``[64w, 64w+64)``. One explode (×n_hashes, values stay in their input
+    partition) and one partial+final ``bit_or`` hash agg over ≤ n_bits/64
+    groups — shuffle volume is bounded by the bitmap size, independent of
+    both corpus size and key cardinality, exactly like
+    :func:`count_min_build`. No ``distinct`` on the keys: OR is
+    idempotent, so duplicate keys cost nothing and save a shuffle.
+
+    Registers are mergeable (:func:`bloom_merge` — cellwise OR), so
+    per-day / per-increment filters compose without rebuilding; that is
+    what makes the sketch a persistent crawl-frontier accelerator
+    (:func:`logagg.frontier.filter_unseen_bloom`). No false negatives
+    ever; false-positive rate ≈ :func:`bloom_fpr`.
+
+    All-JVM: the hash is Catalyst md5/conv/pmod inside whole-stage
+    codegen (see ``_bloom_hash`` for why md5, not xxhash64). Python twin:
+    :func:`logagg.refsketch.bloom_build_py` (bit-identical, signed-64
+    register convention)."""
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two >= 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    key = F.col(key_col).cast("string")
+    h = F.col("_h")
+    return (
+        df.select(key.alias("_key"))
+        .filter(F.col("_key").isNotNull())
+        .select(
+            "_key",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_j"),
+        )
+        .select(_bloom_hash(F.col("_j"), F.col("_key"), n_bits).alias("_h"))
+        .select(
+            F.shiftright(h, 6).cast("int").alias("word"),
+            _bloom_mask(h).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_merge(*regs: DataFrame) -> DataFrame:
+    """OR-merge sparse register tables built with the same (n_bits,
+    n_hashes): union + one ``bit_or`` agg. bloom(A ∪ B) == merge(bloom(A),
+    bloom(B)) exactly — the property that lets increments compose."""
+    if not regs:
+        raise ValueError("need at least one register table")
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_collect(regs: DataFrame, *, n_bits: int) -> list[int]:
+    """Sparse registers → the dense driver-side word list (length
+    n_bits/64, signed-64 to match Spark longs). Bounded by construction:
+    ≤ n_bits/64 rows, like the :func:`count_min_build` collect."""
+    dense = [0] * (n_bits // 64)
+    for r in regs.select("word", "bits").collect():
+        dense[r["word"]] |= r["bits"]
+    return dense
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    regs: list[int],
+    *,
+    n_bits: int,
+    n_hashes: int,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe against driver-held dense registers: the bitmap
+    rides as ONE broadcast row (n_bits/64 longs — 1 MiB at n_bits=2^26)
+    cross-joined onto every partition, and the test is a Catalyst
+    ``forall`` over the n_hashes bit positions — whole-stage codegen, no
+    Python, no shuffle, map-only above the scan. ``out_col`` is false ⇒
+    the key was NEVER inserted (no false negatives); true ⇒ probably
+    inserted (verify exactly if it matters — that asymmetry is the whole
+    trick of :func:`logagg.frontier.filter_unseen_bloom`). Null keys
+    probe false."""
+    if len(regs) * 64 != n_bits:
+        raise ValueError("regs length does not match n_bits")
+    spark = df.sparkSession
+    regs_df = spark.createDataFrame([(regs,)], "_bloom_regs array<bigint>")
+    key = F.col(key_col).cast("string")
+
+    def _test(j):
+        h = _bloom_hash(j, key, n_bits)
+        word = F.shiftright(h, 6).cast("int") + F.lit(1)  # element_at is 1-based
+        return (
+            F.element_at(F.col("_bloom_regs"), word).bitwiseAND(_bloom_mask(h))
+            != F.lit(0)
+        )
+
+    hit = F.forall(F.sequence(F.lit(0), F.lit(n_hashes - 1)), _test)
+    return (
+        df.crossJoin(F.broadcast(regs_df))
+        .withColumn(out_col, F.coalesce(hit, F.lit(False)))
+        .drop("_bloom_regs")
+    )
+
+
+def bloom_fpr(n_bits: int, n_hashes: int, n_keys: int) -> float:
+    """Expected false-positive rate after n_keys inserts:
+    (1 - e^(-kn/m))^k. ~0.8% at the default m=2^20, k=7 with 10^5 keys."""
+    import math
+
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-n_hashes * n_keys / n_bits)) ** n_hashes

@@ -446,6 +446,117 @@ def frontier_increment(
     return fresh.drop("_canon")
 
 
+def filter_unseen_bloom(
+    new_urls: DataFrame,
+    seen_dir: str,
+    *,
+    url_col: str = "url",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """:func:`frontier_increment` with a Bloom-filter accelerator — SAME
+    result rows, a fraction of the join work. A persistent sketch of every
+    seen canonical URL lives beside the exact index
+    (``<seen_dir>/bloom``, sparse ``(word, bits)`` registers ≤ n_bits/64
+    rows); each batch is probed map-side
+    (:func:`logagg.aggregate.bloom_probe` — one broadcast row, zero
+    shuffle, no Python), and only the bloom-POSITIVE urls reach the exact
+    anti-join. Bloom-negative urls are *provably* unseen (no false
+    negatives), so at steady state the anti-join shuffle carries
+    ~(dup_rate + :func:`logagg.aggregate.bloom_fpr`) of the batch instead
+    of all of it — the difference between shuffling a 100 TB frontier
+    batch against a billions-row index and shuffling a few percent of it.
+    False positives cost only wasted verification; the exact index stays
+    ground truth, so the result is IDENTICAL to
+    :func:`frontier_increment` (pinned by test).
+
+    The sketch update is the same bounded-collect shape as
+    :func:`logagg.aggregate.count_min_build`: the batch's partial
+    registers (≤ n_bits/64 rows by construction) merge into the dense
+    driver copy already in hand, and the merged table is rewritten
+    whole — driver data, so rewriting the path just read needs no lineage
+    cut. The two stores share a lifecycle: bootstrap writes both, every
+    increment appends urls + rewrites bloom. (n_bits, n_hashes) are fixed
+    at bootstrap by a meta row in the bloom table (word = -1 stores them)
+    and enforced on every call — probing with the wrong geometry would
+    silently break the no-false-negative contract."""
+    from logagg import aggregate
+
+    spark = new_urls.sparkSession
+    canon = new_urls.withColumn(
+        "_canon", textstats.canonical_url(F.col(url_col))
+    )
+    keeper = canon.groupBy("_canon").agg(F.min(url_col).alias(url_col))
+    fresh = canon.join(keeper, [url_col, "_canon"], "left_semi")
+    try:
+        idx = spark.read.parquet(f"{seen_dir}/urls")
+        idx.schema  # force resolution
+    except Exception:
+        idx = None
+    try:
+        regs_tbl = spark.read.parquet(f"{seen_dir}/bloom")
+        regs_tbl.schema  # force resolution
+    except Exception:
+        regs_tbl = None
+    dense = None
+    if regs_tbl is not None and idx is not None:
+        meta = {
+            r["word"]: r["bits"]
+            for r in regs_tbl.filter(F.col("word") < 0).collect()
+        }
+        if meta.get(-1) != n_bits or meta.get(-2) != n_hashes:
+            raise ValueError(
+                f"bloom at {seen_dir} was built with n_bits={meta.get(-1)}, "
+                f"n_hashes={meta.get(-2)}; refusing to probe with "
+                f"({n_bits}, {n_hashes})"
+            )
+        dense = aggregate.bloom_collect(
+            regs_tbl.filter(F.col("word") >= 0), n_bits=n_bits
+        )
+        probed = aggregate.bloom_probe(
+            fresh, "_canon", dense, n_bits=n_bits, n_hashes=n_hashes,
+            out_col="_maybe_seen",
+        )
+        unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        verified = candidates.join(
+            idx, candidates["_canon"] == idx["canon_url"], "left_anti"
+        )
+        fresh = unseen.unionByName(verified)
+    elif idx is not None:
+        # index exists (e.g. built by frontier_increment) but no sketch
+        # yet: exact path for this batch, bootstrap the sketch from the
+        # WHOLE index below so the next batch gets the accelerator
+        fresh = fresh.join(
+            idx, fresh["_canon"] == idx["canon_url"], "left_anti"
+        )
+    # lineage cut BEFORE appending to the index this frame reads
+    fresh = fresh.localCheckpoint()
+    fresh.select(F.col("_canon").alias("canon_url")).write.mode("append").parquet(
+        f"{seen_dir}/urls"
+    )
+    to_sketch = fresh.select(F.col("_canon"))
+    if dense is None and idx is not None:
+        to_sketch = to_sketch.unionByName(
+            idx.select(F.col("canon_url").alias("_canon"))
+        )
+    batch_regs = aggregate.bloom_collect(
+        aggregate.bloom_build(to_sketch, "_canon", n_bits=n_bits, n_hashes=n_hashes),
+        n_bits=n_bits,
+    )
+    merged = (
+        batch_regs
+        if dense is None
+        else [a | b for a, b in zip(dense, batch_regs)]
+    )
+    rows = [(w, b) for w, b in enumerate(merged) if b] or [(0, 0)]
+    rows += [(-1, n_bits), (-2, n_hashes)]
+    spark.createDataFrame(rows, "word int, bits long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{seen_dir}/bloom")
+    return fresh.drop("_canon")
+
+
 # ---------------------------------------------------------------------------
 # Redirect-chain resolution
 # ---------------------------------------------------------------------------

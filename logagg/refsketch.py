@@ -499,3 +499,42 @@ def kmeans_assign_py(vecs: list, cents: np.ndarray) -> list[int]:
     X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
     cn = (cents * cents).sum(axis=1)
     return list((cn[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter twins (aggregate.bloom_build / bloom_probe)
+# ---------------------------------------------------------------------------
+
+def bloom_hash_py(j: int, key: str, n_bits: int) -> int:
+    """Twin of aggregate._bloom_hash: first 15 hex chars of
+    md5("<j>:<key>") as an int, mod n_bits."""
+    h = hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15]
+    return int(h, 16) % n_bits
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def bloom_build_py(keys, n_bits: int, n_hashes: int) -> dict[int, int]:
+    """Twin of aggregate.bloom_build: sparse {word: bits} with bits in the
+    SIGNED-64 convention Spark longs use (bit 63 set → negative)."""
+    acc: dict[int, int] = defaultdict(int)
+    for key in keys:
+        if key is None:
+            continue
+        for j in range(n_hashes):
+            h = bloom_hash_py(j, str(key), n_bits)
+            acc[h >> 6] |= 1 << (h & 63)
+    return {w: _signed64(b) for w, b in acc.items()}
+
+
+def bloom_contains_py(
+    regs: list[int], key: str, n_bits: int, n_hashes: int
+) -> bool:
+    """Twin of aggregate.bloom_probe over the dense signed-64 word list."""
+    for j in range(n_hashes):
+        h = bloom_hash_py(j, str(key), n_bits)
+        if not (regs[h >> 6] & (1 << 64) - 1) & (1 << (h & 63)):
+            return False
+    return True
