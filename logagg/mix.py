@@ -126,6 +126,60 @@ def mix_sources_df(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "wrs",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): every row draws the deterministic uniform
+    u = (h+1)/2^32 (h as in :func:`mix_uniform`; the +1 keeps u in
+    (0, 1] so ``log`` never sees 0 — Spark's ``log`` returns NULL there)
+    and ranks by key = ln(u)/weight; the k LARGEST keys are the sample.
+    Inclusion probabilities follow the weights (first pick ∝ w_i), so
+    "sample 1M docs skewed by quality score" is this one call —
+    :func:`mix_copies` is the expectation-sized Bernoulli dual, this is
+    the exact-k dual.
+
+    Scale shape: one map-side key projection + ``orderBy().limit(k)`` —
+    Spark plans TakeOrdered (per-partition top-k heaps + a k-row driver
+    merge), never a global sort. Like :func:`logagg.aggregate.
+    bottomk_sample` the rule is content-independent and EXACTLY
+    mergeable: top-k(A ∪ B) == top-k(top-k(A) ∪ top-k(B)), so per-shard /
+    per-day samples compose without resampling. Rows with NULL,
+    non-positive, or non-finite weight are excluded; ties break on id.
+    ``key_col`` keeps the rank key in the output (for composing merges);
+    default drops it. Twin: :func:`logagg.textfns.weighted_sample_py`
+    (bit-identical keys — u is exact in a double and both engines use
+    IEEE ``log``, the same portability argument as the DSIR gumbel
+    keys)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / w
+    out = (
+        df.filter(w.isNotNull() & (w > 0) & ~F.isnan(w) & (w < F.lit(float("inf"))))
+        .withColumn(key_col or "_wrs_key", key)
+        .orderBy(F.col(key_col or "_wrs_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return out if key_col else out.drop("_wrs_key")
+
+
 def temperature_weights(
     docs: DataFrame,
     *,

@@ -604,3 +604,55 @@ def dsir_logw_py(bucket_ids: list[int], log_ratio) -> float:
     for b in bucket_ids:
         s += float(log_ratio[b])
     return s
+
+
+def weighted_sample_py(rows: list[tuple], k: int, seed: str = "wrs") -> list:
+    """Twin of ``logagg.mix.weighted_sample``: rows are (id, weight);
+    returns the ids of the k largest ln(u)/w keys, u = (h+1)/2^32 from
+    the md5 uniform, ties broken by id ascending. Same
+    exclude-nonpositive/nonfinite rule."""
+    import hashlib
+    import math
+
+    keyed = []
+    for doc_id, w in rows:
+        if w is None or not (w > 0) or not math.isfinite(w):
+            continue
+        h = int(
+            hashlib.md5(f"{seed}:{doc_id}".encode("utf-8")).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 4294967296.0
+        keyed.append((-(math.log(u) / w), doc_id))
+    keyed.sort()
+    return [doc_id for _, doc_id in keyed[:k]]
+
+
+def yield_curve_py(
+    rows: list[tuple], thresholds: list[float]
+) -> list[dict]:
+    """Twin of ``logagg.textstats.yield_curve``: rows are (score, weight)
+    with weight possibly None; NaN/None scores excluded from numerator
+    and denominator."""
+    import math
+
+    ts = sorted(set(float(t) for t in thresholds))
+    scored = [
+        (s, w) for s, w in rows if s is not None and not math.isnan(s)
+    ]
+    total = len(scored)
+    wtotal = sum(w for _, w in scored if w is not None)
+    out = []
+    for t in ts:
+        live = [(s, w) for s, w in scored if s >= t]
+        n = len(live)
+        wsum = sum(w for _, w in live if w is not None)
+        out.append(
+            {
+                "threshold": t,
+                "n_docs": n,
+                "frac_docs": n / total if total else 0.0,
+                "weight": wsum,
+                "frac_weight": wsum / wtotal if wtotal else 0.0,
+            }
+        )
+    return out

