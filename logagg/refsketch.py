@@ -538,3 +538,29 @@ def bloom_contains_py(
         if not (regs[h >> 6] & (1 << 64) - 1) & (1 << (h & 63)):
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# PCA twins (similarity.pca_fit / pca_project)
+# ---------------------------------------------------------------------------
+
+def pca_fit_py(vecs: list, k: int) -> dict:
+    """Twin of similarity.pca_fit: same population-covariance formula and
+    the SAME post-moment kernel (_pca_from_cov), so any disagreement is
+    exactly the distributed float-sum order (~1e-9)."""
+    from logagg.similarity import _pca_from_cov
+
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    n = len(X)
+    mean = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    return _pca_from_cov(mean, cov, k, n)
+
+
+def pca_project_py(vecs: list, model: dict, whiten: bool = False, eps: float = 1e-9) -> np.ndarray:
+    """Twin of similarity.pca_project."""
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    P = (X - np.asarray(model["mean"])) @ np.asarray(model["components"]).T
+    if whiten:
+        P = P / np.sqrt(np.asarray(model["explained_variance"]) + eps)
+    return P

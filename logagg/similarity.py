@@ -597,3 +597,162 @@ def cluster_balanced_sample(
         .filter(F.col("_rn") <= per_cluster)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA — dimensionality reduction / whitening for embedding columns
+# ---------------------------------------------------------------------------
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+) -> dict:
+    """Distributed PCA fit over an embedding column — the dimensionality
+    reduction a 100 TB embedding pipeline runs before ANN indexing or
+    clustering (smaller vectors → cheaper GEMMs, and whitening equalizes
+    per-axis variance so cosine/L2 neighborhoods stop being dominated by
+    a few high-variance directions).
+
+    ONE map-only Arrow pass emits per-batch moment partials — the d×d
+    second-moment block X^T X, the column-sum vector, and the row count,
+    flattened to ``(i, j, s)`` rows — and one partial+final sum agg
+    merges them: the shuffle carries ≤ d² + d + 1 rows per batch
+    (map-side combined), independent of corpus size, the same
+    bounded-register shape as :func:`logagg.aggregate.count_min_build`
+    and :func:`kmeans_fit`. The driver assembles the covariance
+    cov = E[xxᵀ] − μμᵀ (population form) and eigendecomposes it —
+    a d×d ``eigh``, trivial at embedding dims.
+
+    Determinism: the moment sums are float adds whose order depends on
+    partitioning, so the covariance (hence components) is reproducible
+    to ~1e-9 — the repo's distributed-float-mean contract, pinned by
+    tolerance against :func:`logagg.refsketch.pca_fit_py`. Component
+    SIGN is fixed by convention (largest-|loading| coordinate made
+    positive) so two fits of the same data can be compared directly.
+
+    Returns ``{"mean": (d,), "components": (k, d) rows = top
+    eigenvectors by descending eigenvalue, "explained_variance": (k,),
+    "n": rows}``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        S = None
+        m = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            if S is None:
+                d = X.shape[1]
+                S = np.zeros((d, d))
+                m = np.zeros(d)
+            S += X.T @ X
+            m += X.sum(axis=0)
+            n += len(X)
+        if S is None:
+            return
+        d = S.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "s": np.concatenate([S.ravel(), m, [float(n)]]),
+            }
+        )
+
+    rows = (
+        embeddings.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(_partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()  # bounded: <= d*d + d + 1 rows by construction
+    )
+    d = max(r["i"] for r in rows) + 1
+    S = np.zeros((d, d))
+    m = np.zeros(d)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            m[r["i"]] = r["s"]
+        else:
+            S[r["i"], r["j"]] = r["s"]
+    if n == 0:
+        raise ValueError("cannot fit PCA on an empty frame")
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    mean = m / n
+    cov = S / n - np.outer(mean, mean)
+    return _pca_from_cov(mean, cov, k, int(n))
+
+
+def _pca_from_cov(mean: np.ndarray, cov: np.ndarray, k: int, n: int) -> dict:
+    """Shared eigendecomposition + sign convention (kernel for the Spark
+    fit AND the Python twin — the distributed part is only the moment
+    sums, so everything after them is single-sourced)."""
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k].T.copy()  # (k, d), descending eigenvalue
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": vals[::-1][:k].copy(),
+        "n": n,
+    }
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project an embedding column onto a fitted PCA basis: one broadcast
+    of the (k × d) component block and one map-only Arrow GEMM pass —
+    zero shuffle, schema preserved plus ``out_col array<double>``. With
+    ``whiten=True`` each output axis is scaled to unit variance
+    (1/√(λ+eps)) — the isotropic space where plain L2/cosine ANN
+    behaves. The input schema is carried through the kernel (no
+    join-back), same pattern as :func:`logagg.dsir.with_importance`."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    scale = (
+        1.0 / np.sqrt(np.asarray(model["explained_variance"]) + eps)
+        if whiten
+        else None
+    )
+    bc = embeddings.sparkSession.sparkContext.broadcast((mean, comps, scale))
+    # build a NEW StructType — .add() would mutate the input's cached schema
+    schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    cols = [f.name for f in embeddings.schema.fields]
+
+    def _proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, W, sc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = (X - mu) @ W.T
+            if sc is not None:
+                P = P * sc
+            out = pdf[cols].copy()
+            out[out_col] = list(P)
+            yield out
+
+    return embeddings.mapInPandas(_proj, schema)

@@ -260,3 +260,89 @@ def test_cluster_balanced_sample(spark):
     }
     got = {c: set(v) for c, v in per.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_fit_matches_twin(spark):
+    """Distributed moment sums == the in-memory twin to float-sum-order
+    tolerance; components agree as a SUBSPACE (projector comparison —
+    robust to near-degenerate eigenvalue wobble) and obey the sign
+    convention."""
+    import numpy as np
+
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    k = 8
+    model = similarity.pca_fit(emb, k)
+    vecs = [r["embedding"] for r in emb.select("embedding").collect()]
+    twin = refsketch.pca_fit_py(vecs, k)
+    assert model["n"] == twin["n"] == len(vecs)
+    np.testing.assert_allclose(model["mean"], twin["mean"], atol=1e-9)
+    np.testing.assert_allclose(
+        model["explained_variance"], twin["explained_variance"], rtol=1e-6
+    )
+    Ws, Wt = model["components"], twin["components"]
+    np.testing.assert_allclose(Ws.T @ Ws, Wt.T @ Wt, atol=1e-6)  # same subspace
+    # orthonormal rows + sign convention
+    np.testing.assert_allclose(Ws @ Ws.T, np.eye(k), atol=1e-9)
+    for c in Ws:
+        assert c[np.argmax(np.abs(c))] > 0
+    # eigenvalues descending
+    assert all(a >= b for a, b in zip(model["explained_variance"], model["explained_variance"][1:]))
+
+
+def test_pca_project_variance_and_whitening(spark):
+    """Projected axes carry the eigenvalue variances; whitening flattens
+    them to 1; the Spark projection equals the twin GEMM on the same
+    model."""
+    import numpy as np
+
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    k = 6
+    model = similarity.pca_fit(emb, k)
+    out = (
+        similarity.pca_project(emb, model, out_col="pca")
+        .select("vec_id", "pca")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in out]
+    P = np.array([r["pca"] for r in out])
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    Pt = refsketch.pca_project_py([rows[i] for i in ids], model)
+    np.testing.assert_allclose(P, Pt, atol=1e-9)
+    np.testing.assert_allclose(P.var(axis=0), model["explained_variance"], rtol=1e-6)
+    white = (
+        similarity.pca_project(emb, model, out_col="pca", whiten=True)
+        .select("pca")
+        .collect()
+    )
+    W = np.array([r["pca"] for r in white])
+    np.testing.assert_allclose(W.var(axis=0), np.ones(k), rtol=1e-3)
+
+
+def test_pca_project_schema_and_plan(spark):
+    """Projection preserves the input schema (no mutation of the source
+    frame's cached StructType) and stays map-only — no Exchange."""
+    from logagg import similarity
+
+    emb = _emb(spark)
+    before = [f.name for f in emb.schema.fields]
+    model = similarity.pca_fit(emb, 4)
+    out = similarity.pca_project(emb, model)
+    assert [f.name for f in out.schema.fields] == before + ["pca"]
+    assert [f.name for f in emb.schema.fields] == before  # source untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.pca_fit(emb, 0)
+    with pytest.raises(ValueError):
+        similarity.pca_fit(emb, 10_000)
