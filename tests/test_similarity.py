@@ -346,3 +346,41 @@ def test_pca_project_schema_and_plan(spark):
         similarity.pca_fit(emb, 0)
     with pytest.raises(ValueError):
         similarity.pca_fit(emb, 10_000)
+
+
+def test_ann_pca_rerank_exact_at_full_rank_and_recall_reduced(spark):
+    """dim_k = d with a candidate pool spanning the corpus is exactly
+    ann_bruteforce (orthogonal projection of normalized vectors preserves
+    the cosine ranking); at dim_k=16 the reduced-space filter still finds
+    most true neighbors."""
+    from logagg import similarity
+
+    emb = _emb(spark)
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    exact = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ann_bruteforce(emb, 4, 5).collect()
+    }
+    full = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ann_pca_rerank(
+            emb, 4, 5, dim_k=dim, candidates=n
+        ).collect()
+    }
+    assert full == exact
+
+    reduced = {
+        (r["qid"], r["nid"])
+        for r in similarity.ann_pca_rerank(
+            emb, 4, 5, dim_k=16, candidates=64
+        ).collect()
+    }
+    truth = {(q, nid) for q, nid, _ in exact}
+    recall = len(reduced & truth) / len(truth)
+    assert recall >= 0.8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.ann_pca_rerank(emb, 4, 10, candidates=5)
