@@ -681,8 +681,57 @@ def _headline():
         )
         return ts.c4_filters(doctored, min_sentences=1)
 
+    def bloom_run(spark, sf_dir):
+        # continuous-crawl seen-set shape: bootstrap the exact index +
+        # bloom sketch from half the corpus urls, then filter a full batch
+        # (half dup, half new) — the probe is map-only, only
+        # bloom-positives reach the anti-join. Fresh seen-dir per pass so
+        # best-of-2 times the same work.
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from logagg import frontier as fr
+
+        urls = entrymod._pages(spark, sf_dir).select("url")
+        seen = tempfile.mkdtemp(prefix="logagg-bench-bloom-") + "/seen"
+        fr.filter_unseen_bloom(
+            urls.filter(F.crc32(F.col("url").cast("binary")) % 2 == 0), seen
+        ).count()
+        return fr.filter_unseen_bloom(urls, seen)
+
+    def wrs_run(spark, sf_dir):
+        # exact-k weighted sampling over the full pages corpus: Catalyst
+        # quality weights + ln(u)/w rank, TakeOrdered plan (per-partition
+        # heaps, k-row driver merge) — url-keyed, no dense-id assumption
+        from pyspark.sql import functions as F
+
+        from logagg import mix
+        from logagg import textstats as ts
+
+        pages = entrymod._pages(spark, sf_dir).select(
+            "url",
+            (ts.quality_score(F.col("text"), F.length("text")) + F.lit(1e-6)).alias(
+                "w"
+            ),
+        )
+        return mix.weighted_sample(pages, "w", 1000, id_col="url")
+
+    def pca_run(spark, sf_dir):
+        # embedding reduction shape: one bounded moment agg (<= d^2+d+1
+        # rows/batch) + driver eigh + one broadcast zero-shuffle GEMM
+        # projection pass with whitening
+        from logagg import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        model = sim.pca_fit(emb, 16)
+        return sim.pca_project(emb, model, whiten=True)
+
     return {
         "parse_records": (qs["parse_records"], count),
+        "bloom_frontier_filter": (bloom_run, count),
+        "weighted_sample_quality": (wrs_run, collect),
+        "pca_fit_project": (pca_run, count),
         "heavy_hitters_hosts": (hh_run, collect),
         "dsir_select": (dsir_run, collect),
         "c4_filters": (c4_run, count),

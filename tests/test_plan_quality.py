@@ -73,3 +73,12 @@ def test_crawl_ops_plan_contract(spark):
     from explain_plans import crawl_ops_plan_contract
 
     assert crawl_ops_plan_contract(spark) == []
+
+
+def test_sketch_sample_plan_contract(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_plans import sketch_sample_plan_contract
+
+    assert sketch_sample_plan_contract(spark) == []

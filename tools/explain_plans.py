@@ -444,6 +444,67 @@ def crawl_ops_plan_contract(spark) -> list[str]:
     return failures
 
 
+def sketch_sample_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of the sketch/sampling additions:
+
+    * ``aggregate.bloom_build`` — exactly ONE hash exchange (the bounded
+      bit_or register agg), zero Python nodes.
+    * ``aggregate.bloom_probe`` — map-only above the scan: a single-row
+      BroadcastExchange, no hash exchange, no Python.
+    * ``mix.weighted_sample`` — TakeOrderedAndProject (per-partition
+      heaps + k-row driver merge), never a global Sort+Exchange.
+    * ``similarity.pca_project`` — one MapInPandas pass, no Exchange.
+
+    Returns failure strings (empty = contract holds)."""
+    from logagg import aggregate, mix, similarity
+
+    failures: list[str] = []
+    df = spark.createDataFrame(
+        [(f"http://h{i % 5}.com/{i}",) for i in range(50)], "url string"
+    )
+
+    def plan_of(d) -> str:
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(aggregate.bloom_build(df, "url", n_bits=1 << 12, n_hashes=5))
+    if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p):
+        failures.append("bloom_build: Python in the plan")
+    n_ex = p.count("Exchange hashpartitioning")
+    if n_ex != 1:
+        failures.append(f"bloom_build: {n_ex} hash exchanges (want 1)")
+    if "partial_bit_or" not in p:
+        failures.append("bloom_build: register agg not partial+final")
+
+    p = plan_of(
+        aggregate.bloom_probe(df, "url", [0] * 64, n_bits=1 << 12, n_hashes=5)
+    )
+    if "Exchange hashpartitioning" in p:
+        failures.append("bloom_probe: a shuffle crept in")
+    if re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas", p):
+        failures.append("bloom_probe: Python in the plan")
+    if "BroadcastExchange" not in p:
+        failures.append("bloom_probe: registers not broadcast")
+
+    wdf = spark.createDataFrame(
+        [(f"d{i}", 1.0 + i % 3) for i in range(50)], "doc_id string, w double"
+    )
+    p = plan_of(mix.weighted_sample(wdf, "w", 10))
+    if "TakeOrderedAndProject" not in p:
+        failures.append("weighted_sample: top-k is not TakeOrdered")
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    model = similarity.pca_fit(emb, 2)
+    p = plan_of(similarity.pca_project(emb, model))
+    if "Exchange" in p:
+        failures.append("pca_project: a shuffle crept in")
+    if p.count("MapInPandas") != 1:
+        failures.append("pca_project: expected exactly one Arrow pass")
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -514,6 +575,17 @@ def main(only: list[str]) -> int:
                 "one exchange; spell + mlt bucket-pruned TakeOrdered"
             )
         rc |= 1 if cfails else 0
+        print(f"{'='*70}\nsketch/sample plan contract\n{'='*70}")
+        kfails = sketch_sample_plan_contract(spark)
+        for msg in kfails:
+            print(f"  [VIOLATION] {msg}")
+        if not kfails:
+            print(
+                "  [ok] bloom build one bounded exchange / probe map-only "
+                "broadcast; weighted_sample TakeOrdered; pca_project one "
+                "Arrow pass no shuffle"
+            )
+        rc |= 1 if kfails else 0
     return rc
 
 
