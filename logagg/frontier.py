@@ -473,13 +473,41 @@ def filter_unseen_bloom(
     The sketch update is the same bounded-collect shape as
     :func:`logagg.aggregate.count_min_build`: the batch's partial
     registers (≤ n_bits/64 rows by construction) merge into the dense
-    driver copy already in hand, and the merged table is rewritten
-    whole — driver data, so rewriting the path just read needs no lineage
-    cut. The two stores share a lifecycle: bootstrap writes both, every
-    increment appends urls + rewrites bloom. (n_bits, n_hashes) are fixed
-    at bootstrap by a meta row in the bloom table (word = -1 stores them)
-    and enforced on every call — probing with the wrong geometry would
-    silently break the no-false-negative contract."""
+    driver copy, and the merged table is rewritten whole — driver data,
+    so rewriting the path just read needs no lineage cut. The two stores
+    share a lifecycle: bootstrap writes both, every increment appends
+    urls + rewrites bloom. (n_bits, n_hashes) are fixed at bootstrap by
+    meta rows in the bloom table (words -1/-2 store them) and enforced
+    on every call — probing with the wrong geometry would silently break
+    the no-false-negative contract.
+
+    Split into a side-effect-free probe (:func:`unseen_in_batch`) and an
+    idempotent store commit (:func:`commit_seen`) so the streaming form
+    (:func:`logagg.streaming.run_streaming_frontier`) can land the batch
+    output BEFORE mutating the store."""
+    fresh = unseen_in_batch(
+        new_urls, seen_dir, url_col=url_col, n_bits=n_bits, n_hashes=n_hashes
+    )
+    # lineage cut BEFORE appending to the index this frame reads
+    fresh = fresh.localCheckpoint()
+    commit_seen(fresh, seen_dir, n_bits=n_bits, n_hashes=n_hashes)
+    return fresh.drop("_canon")
+
+
+def unseen_in_batch(
+    new_urls: DataFrame,
+    seen_dir: str,
+    *,
+    url_col: str = "url",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """The pure probe half of :func:`filter_unseen_bloom` — NO side
+    effects: canonicalize, keep the min url per canonical within the
+    batch, bloom-probe against ``<seen_dir>/bloom`` when it exists, and
+    exact-anti-join only the bloom-positives (everything, if the index
+    exists but the sketch doesn't yet). Returns the not-yet-seen rows
+    WITH the ``_canon`` key column (the commit half needs it)."""
     from logagg import aggregate
 
     spark = new_urls.sparkSession
@@ -488,17 +516,8 @@ def filter_unseen_bloom(
     )
     keeper = canon.groupBy("_canon").agg(F.min(url_col).alias(url_col))
     fresh = canon.join(keeper, [url_col, "_canon"], "left_semi")
-    try:
-        idx = spark.read.parquet(f"{seen_dir}/urls")
-        idx.schema  # force resolution
-    except Exception:
-        idx = None
-    try:
-        regs_tbl = spark.read.parquet(f"{seen_dir}/bloom")
-        regs_tbl.schema  # force resolution
-    except Exception:
-        regs_tbl = None
-    dense = None
+    idx = _read_parquet_or_none(spark, f"{seen_dir}/urls")
+    regs_tbl = _read_parquet_or_none(spark, f"{seen_dir}/bloom")
     if regs_tbl is not None and idx is not None:
         meta = {
             r["word"]: r["bits"]
@@ -525,21 +544,49 @@ def filter_unseen_bloom(
         fresh = unseen.unionByName(verified)
     elif idx is not None:
         # index exists (e.g. built by frontier_increment) but no sketch
-        # yet: exact path for this batch, bootstrap the sketch from the
-        # WHOLE index below so the next batch gets the accelerator
+        # yet: exact path for this batch; commit_seen bootstraps the
+        # sketch from the WHOLE index so the next batch gets the probe
         fresh = fresh.join(
             idx, fresh["_canon"] == idx["canon_url"], "left_anti"
         )
-    # lineage cut BEFORE appending to the index this frame reads
-    fresh = fresh.localCheckpoint()
+    return fresh
+
+
+def commit_seen(
+    fresh: DataFrame,
+    seen_dir: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> None:
+    """The store-mutation half of :func:`filter_unseen_bloom`: append the
+    batch's canonical keys to ``<seen_dir>/urls`` and rewrite the merged
+    bloom registers. IDEMPOTENT for the same ``fresh`` frame — re-running
+    after a crash re-appends the same canonical keys (duplicate index
+    rows are harmless: the anti-join and the sketch OR both absorb them)
+    and ORs the same bits. ``fresh`` must carry ``_canon`` and must NOT
+    have live lineage through ``<seen_dir>/urls`` (localCheckpoint it, or
+    read it back from a landed parquet — the two callers)."""
+    from logagg import aggregate
+
+    spark = fresh.sparkSession
+    had_bloom = _read_parquet_or_none(spark, f"{seen_dir}/bloom") is not None
     fresh.select(F.col("_canon").alias("canon_url")).write.mode("append").parquet(
         f"{seen_dir}/urls"
     )
     to_sketch = fresh.select(F.col("_canon"))
-    if dense is None and idx is not None:
-        to_sketch = to_sketch.unionByName(
-            idx.select(F.col("canon_url").alias("_canon"))
+    dense = None
+    if had_bloom:
+        regs_tbl = spark.read.parquet(f"{seen_dir}/bloom")
+        dense = aggregate.bloom_collect(
+            regs_tbl.filter(F.col("word") >= 0), n_bits=n_bits
         )
+    else:
+        idx = _read_parquet_or_none(spark, f"{seen_dir}/urls")
+        if idx is not None:  # bootstrap: sketch the whole index
+            to_sketch = to_sketch.unionByName(
+                idx.select(F.col("canon_url").alias("_canon"))
+            )
     batch_regs = aggregate.bloom_collect(
         aggregate.bloom_build(to_sketch, "_canon", n_bits=n_bits, n_hashes=n_hashes),
         n_bits=n_bits,
@@ -554,7 +601,15 @@ def filter_unseen_bloom(
     spark.createDataFrame(rows, "word int, bits long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{seen_dir}/bloom")
-    return fresh.drop("_canon")
+
+
+def _read_parquet_or_none(spark, path: str):
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution
+        return df
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------

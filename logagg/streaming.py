@@ -423,3 +423,95 @@ def run_streaming_heavy_hitters(
     finally:
         q.stop()
     return _current_state()
+
+
+def run_streaming_frontier(
+    spark: SparkSession,
+    urls_dir: str,
+    seen_dir: str,
+    outdir: str,
+    checkpoint_dir: str,
+    *,
+    url_col: str = "url",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    max_files_per_trigger: int = 8,
+) -> dict[int, int]:
+    """Continuous-crawl seen-set: stream discovered-URL files, emit each
+    micro-batch's not-yet-seen URLs to ``<outdir>/batch_id=<id>/`` and
+    fold them into the persistent exact-index + bloom-sketch store that
+    :func:`logagg.frontier.filter_unseen_bloom` maintains — the streaming
+    twin of calling it per batch (pinned by test).
+
+    Exactly-once OUTPUT, ordered around the crash windows foreachBatch
+    actually has:
+
+    1. probe (:func:`logagg.frontier.unseen_in_batch` — NO side effects)
+    2. land the fresh rows at the deterministic per-batch path with
+       ``mode("overwrite")`` — a replay that dies mid-write simply
+       overwrites, so the landed dir is all-or-nothing per attempt
+    3. commit the store from the LANDED frame
+       (:func:`logagg.frontier.commit_seen` — idempotent: duplicate
+       canonical keys are absorbed by the anti-join, duplicate bits by
+       the OR), reading it back from parquet so the frame has no lineage
+       through the index it appends to
+    4. atomic-rename the ledger marker
+       (``<seen_dir>/_batch_ledger/batch-<id>.json``)
+
+    Replay decision table: marker present → fully committed, skip (count
+    read back). Marker absent, landed ``_SUCCESS`` present → the store
+    commit may have half-happened; re-commit from the landed output
+    (NOT a re-probe — re-probing after a partial index append would find
+    nothing fresh and overwrite the landed output with an empty frame,
+    silently LOSING the batch). Neither → first attempt, full path.
+    The ledger/marker IO runs on the driver (plain posix), like
+    :func:`run_streaming_route_multiplex`.
+
+    Output files carry the original columns plus ``_canon``; reading
+    ``outdir`` whole adds the hive ``batch_id`` column. Returns
+    {batch_id: fresh_rows}, replay-stable."""
+    import json
+    from pathlib import Path
+
+    from logagg import frontier
+
+    counts: dict[int, int] = {}
+    ledger = Path(seen_dir) / "_batch_ledger"
+    ledger.mkdir(parents=True, exist_ok=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = ledger / f"batch-{batch_id}.json"
+        if marker.exists():  # fully committed earlier — skip
+            counts[batch_id] = json.loads(marker.read_text())["n"]
+            return
+        land = f"{outdir}/batch_id={batch_id}"
+        if not (Path(land) / "_SUCCESS").exists():
+            fresh = frontier.unseen_in_batch(
+                batch_df, seen_dir, url_col=url_col,
+                n_bits=n_bits, n_hashes=n_hashes,
+            )
+            fresh.write.mode("overwrite").parquet(land)
+        landed = spark.read.parquet(land)
+        frontier.commit_seen(landed, seen_dir, n_bits=n_bits, n_hashes=n_hashes)
+        n = landed.count()
+        tmp = marker.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"n": n}))
+        tmp.rename(marker)  # atomic commit of the ledger entry
+        counts[batch_id] = n
+
+    schema = spark.read.parquet(urls_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(urls_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return counts

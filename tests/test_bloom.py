@@ -193,3 +193,90 @@ def test_filter_unseen_bloom_bootstraps_from_existing_index(spark, tmp_path):
         frontier.filter_unseen_bloom(
             _urls_df(spark, ["http://c.example.com/x"]), seen, n_bits=1 << 10
         )
+
+
+def test_streaming_frontier_equals_batch_and_replays(spark, tmp_path):
+    """The streaming seen-set == filter_unseen_bloom applied batch-by-batch
+    in file order; replay with every marker present skips cleanly; a
+    simulated crash between store-commit and marker (marker deleted) must
+    RE-COMMIT from the landed output instead of re-probing — the landed
+    batch output survives byte-identical instead of being clobbered by an
+    empty re-probe."""
+    import json
+    import os
+    import shutil
+
+    from logagg import streaming
+
+    in_dir = tmp_path / "in"
+    seen_s = str(tmp_path / "seen_stream")
+    seen_b = str(tmp_path / "seen_batch")
+    out = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+
+    ordered_parts = []
+    for i, batch in enumerate(BATCHES):
+        before = set(in_dir.glob("part-*")) if in_dir.exists() else set()
+        _urls_df(spark, batch).coalesce(1).write.mode("append").parquet(str(in_dir))
+        (new_part,) = set(in_dir.glob("part-*")) - before
+        os.utime(new_part, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        ordered_parts.append(new_part)
+
+    counts = streaming.run_streaming_frontier(
+        spark, str(in_dir), seen_s, out, ckpt,
+        n_bits=256, n_hashes=3, max_files_per_trigger=1,
+    )
+    # batch twin, same per-file batches in mtime order
+    expected = []
+    for part in ordered_parts:
+        fresh = frontier.filter_unseen_bloom(
+            spark.read.parquet(str(part)), seen_b, n_bits=256, n_hashes=3
+        )
+        expected.append(sorted(r["url"] for r in fresh.collect()))
+    assert [counts[i] for i in sorted(counts)] == [len(e) for e in expected]
+    streamed = spark.read.parquet(out)
+    got_total = sorted(r["url"] for r in streamed.select("url").collect())
+    assert got_total == sorted(u for e in expected for u in e)
+
+    # full replay, all markers present: counts identical, no new rows
+    shutil.rmtree(ckpt)
+    counts2 = streaming.run_streaming_frontier(
+        spark, str(in_dir), seen_s, out, ckpt,
+        n_bits=256, n_hashes=3, max_files_per_trigger=1,
+    )
+    assert counts2 == counts
+    assert spark.read.parquet(out).count() == len(got_total)
+
+    # crash window: marker gone, landed output present → re-commit path.
+    # Batch 0 had fresh rows; deleting its marker and replaying must
+    # neither lose nor duplicate them, and the seen index must still
+    # filter everything (nothing new on a re-run of the same input).
+    marker = tmp_path / "seen_stream" / "_batch_ledger" / "batch-0.json"
+    n0 = json.loads(marker.read_text())["n"]
+    assert n0 > 0
+    marker.unlink()
+    shutil.rmtree(ckpt)
+    counts3 = streaming.run_streaming_frontier(
+        spark, str(in_dir), seen_s, out, ckpt,
+        n_bits=256, n_hashes=3, max_files_per_trigger=1,
+    )
+    assert counts3 == counts
+    assert (
+        sorted(r["url"] for r in spark.read.parquet(out).select("url").collect())
+        == got_total
+    )
+    # geometry stays pinned through the streaming path too — a replay of
+    # committed batches never probes (markers short-circuit), so feed a
+    # genuinely NEW batch under the wrong geometry; the probe raises
+    # inside foreachBatch and surfaces through the streaming query
+    before = set(in_dir.glob("part-*"))
+    _urls_df(spark, ["http://new.example.com/z"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    (new_part,) = set(in_dir.glob("part-*")) - before
+    os.utime(new_part, (1_000_000 + 9000, 1_000_000 + 9000))
+    with pytest.raises(Exception, match="refusing to probe"):
+        streaming.run_streaming_frontier(
+            spark, str(in_dir), seen_s, out, str(tmp_path / "ckpt2"),
+            n_bits=1 << 10, n_hashes=3, max_files_per_trigger=1,
+        )
