@@ -71,6 +71,8 @@ def main() -> None:
     ap.add_argument("--dsir-target", default=None,
                     help="target-corpus parquet; keep the --dsir-k docs most like it")
     ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--sample-k", type=int, default=None,
+                    help="exact-k quality-weighted sample (A-ES) after all filters")
     ap.add_argument("--pack", type=int, default=None, help="context-window capacity")
     ap.add_argument("--stage-dir", default=None)
     ap.add_argument("--resume", action="store_true")
@@ -141,6 +143,7 @@ def main() -> None:
         domain_cap=args.domain_cap,
         dsir_target=(spark.read.parquet(args.dsir_target) if args.dsir_target else None),
         dsir_k=args.dsir_k,
+        sample_k=args.sample_k,
         pack_capacity=args.pack,
         materialize_dir=args.stage_dir,
         resume=args.resume,

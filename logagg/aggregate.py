@@ -454,3 +454,60 @@ def bloom_fpr(n_bits: int, n_hashes: int, n_keys: int) -> float:
     if n_keys <= 0:
         return 0.0
     return (1.0 - math.exp(-n_hashes * n_keys / n_bits)) ** n_hashes
+
+
+def bottomk_overlap(
+    a: DataFrame, b: DataFrame, id_col: str, k: int, *, assume_unique: bool = False
+) -> dict:
+    """Set-overlap estimation between two corpora from their coordinated
+    bottom-k samples (Cohen & Kaplan 2007) — "how much does crawl B
+    re-cover crawl A" / "how big is the union" WITHOUT shuffling either
+    corpus against the other: two TakeOrdered sample jobs + two counts,
+    then k-row driver math.
+
+    Because both sides sample by the SAME content-independent rank
+    (md5(str(id)), id), bottom-k(A ∪ B) is computable from the two
+    samples alone (mergeability), and for any id in that union sample,
+    membership in A is decidable from A's sample alone — if x ∈ A ranks
+    among the union's k smallest, it ranks among A's k smallest. So the
+    fraction of the union sample present in BOTH samples is the standard
+    bottom-k Jaccard estimator (±O(1/√k)); union and intersection sizes
+    follow from the exact per-side counts by inclusion-exclusion.
+
+    Returns ``{jaccard, union, intersection, n_a, n_b, k_used}``;
+    ``k_used < k`` means the union was smaller than k and every estimate
+    is EXACT. Twin: :func:`logagg.refsketch.bottomk_overlap_py`
+    (identical driver math over identically-sampled ids).
+
+    Duplicate ids within a side would bias the merge (a side's bottom-k
+    ROWS may hold dup ids, so its distinct bottom-k is under-filled) —
+    each side is ``distinct()``-ed first (one per-side dedup shuffle,
+    still never a cross-side shuffle); pass ``assume_unique=True`` to
+    skip it when the id column is known unique (the usual case for doc
+    ids / canonical urls)."""
+    import hashlib
+
+    da, db = a.select(id_col), b.select(id_col)
+    if not assume_unique:
+        da, db = da.distinct(), db.distinct()
+    sa = [r[id_col] for r in bottomk_sample(da, id_col, k).collect()]
+    sb = [r[id_col] for r in bottomk_sample(db, id_col, k).collect()]
+    n_a, n_b = da.count(), db.count()
+
+    def rank(i):
+        return (hashlib.md5(str(i).encode("utf-8")).hexdigest(), i)
+
+    union_sample = sorted(set(sa) | set(sb), key=rank)[:k]
+    k_used = len(union_sample)
+    in_a, in_b = set(sa), set(sb)
+    shared = sum(1 for i in union_sample if i in in_a and i in in_b)
+    j = shared / k_used if k_used else 0.0
+    union_est = (n_a + n_b) / (1.0 + j) if (n_a + n_b) else 0.0
+    return {
+        "jaccard": j,
+        "union": union_est,
+        "intersection": union_est * j,
+        "n_a": n_a,
+        "n_b": n_b,
+        "k_used": k_used,
+    }

@@ -103,6 +103,8 @@ def curate(
     domain_cap: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    sample_k: int | None = None,
+    sample_seed: str = "curate-wrs",
     pack_capacity: int | None = None,
     materialize_dir: str | None = None,
     resume: bool = False,
@@ -380,6 +382,25 @@ def curate(
             ).drop("logw", "key")
 
         step("dsir_select", dsir_stage)
+    if sample_k is not None:
+
+        def sample_stage(d: DataFrame) -> DataFrame:
+            from logagg import mix
+
+            # alternative selection tail to DSIR: exact-k quality-weighted
+            # sampling (A-ES) — weights from the pinned quality expression
+            # over the CLEANED pool, so "keep the best-skewed k" composes
+            # with every upstream filter. TakeOrdered plan, no global sort.
+            weighted = d.withColumn(
+                "_w",
+                textstats.quality_score(F.col(text_col), F.length(text_col))
+                + F.lit(1e-9),  # floor: zero-quality docs stay sampleable
+            )
+            return mix.weighted_sample(
+                weighted, "_w", sample_k, id_col=id_col, seed=sample_seed
+            ).drop("_w")
+
+        step("quality_sample", sample_stage)
     if pack_capacity is not None:
 
         def pack_stage(d: DataFrame) -> DataFrame:

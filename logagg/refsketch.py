@@ -564,3 +564,30 @@ def pca_project_py(vecs: list, model: dict, whiten: bool = False, eps: float = 1
     if whiten:
         P = P / np.sqrt(np.asarray(model["explained_variance"]) + eps)
     return P
+
+
+def bottomk_overlap_py(ids_a: list, ids_b: list, k: int) -> dict:
+    """Twin of aggregate.bottomk_overlap: per-side distinct bottom-k via
+    the shared hash rank, then the same union-sample estimator."""
+    ids_a, ids_b = list(set(ids_a)), list(set(ids_b))
+    sa = hash_sample_ids_py(ids_a, k)
+    sb = hash_sample_ids_py(ids_b, k)
+
+    def rank(i):
+        return (hashlib.md5(str(i).encode("utf-8")).hexdigest(), i)
+
+    union_sample = sorted(set(sa) | set(sb), key=rank)[:k]
+    k_used = len(union_sample)
+    in_a, in_b = set(sa), set(sb)
+    shared = sum(1 for i in union_sample if i in in_a and i in in_b)
+    j = shared / k_used if k_used else 0.0
+    n_a, n_b = len(ids_a), len(ids_b)
+    union_est = (n_a + n_b) / (1.0 + j) if (n_a + n_b) else 0.0
+    return {
+        "jaccard": j,
+        "union": union_est,
+        "intersection": union_est * j,
+        "n_a": n_a,
+        "n_b": n_b,
+        "k_used": k_used,
+    }

@@ -345,3 +345,28 @@ def test_dsir_stage(spark, crafted):
     assert len(out) == 2 and res.docs.columns == crafted.columns
     with pytest.raises(ValueError, match="dsir_k"):
         curate.curate(crafted, exact_dedup=False, dsir_target=target)
+
+
+def test_quality_sample_stage(spark, crafted):
+    """The A-ES selection tail: exactly sample_k survivors, schema
+    preserved, and the pick identical to calling mix.weighted_sample with
+    the same quality weights and seed directly."""
+    from pyspark.sql import functions as F
+
+    from logagg import mix, textstats
+
+    res = curate.curate(crafted, exact_dedup=False, sample_k=10)
+    assert [m["stage"] for m in res.manifest] == ["quality_sample"]
+    out = res.docs.collect()
+    assert len(out) == 10 and res.docs.columns == crafted.columns
+    weighted = crafted.withColumn(
+        "_w",
+        textstats.quality_score(F.col("text"), F.length("text")) + F.lit(1e-9),
+    )
+    want = {
+        r["doc_id"]
+        for r in mix.weighted_sample(
+            weighted, "_w", 10, id_col="doc_id", seed="curate-wrs"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out} == want

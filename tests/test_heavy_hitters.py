@@ -209,3 +209,51 @@ def test_sampled_quantiles_rank_error(spark):
     assert aggregate.sampled_quantiles(empty, "v", "doc_id", k=10, probs=(0.5,)) == [
         (0.5, None)
     ]
+
+
+def test_bottomk_overlap_estimates_and_twin(spark):
+    """Coordinated-sample overlap: exact when the union fits in k,
+    twin-identical always, within the O(1/sqrt(k)) band on a 10k-id
+    overlap with known Jaccard, and duplicate-id-safe via the distinct
+    guard."""
+    import pytest
+
+    from logagg import aggregate as agg
+    from logagg import refsketch
+
+    a_ids = [f"u{i}" for i in range(300)]
+    b_ids = [f"u{i}" for i in range(200, 500)]  # |∩|=100, |∪|=500, J=0.2
+
+    df_a = spark.createDataFrame([(i,) for i in a_ids], "id string")
+    df_b = spark.createDataFrame([(i,) for i in b_ids], "id string")
+
+    # k >= |union| → exact
+    exact = agg.bottomk_overlap(df_a, df_b, "id", 1000)
+    assert exact["k_used"] == 500
+    assert exact["jaccard"] == 100 / 500
+    assert exact["union"] == pytest.approx(500.0)
+    assert exact["intersection"] == pytest.approx(100.0)
+
+    # sketch regime: Spark == twin exactly, estimate near truth
+    est = agg.bottomk_overlap(df_a, df_b, "id", 64)
+    twin = refsketch.bottomk_overlap_py(a_ids, b_ids, 64)
+    assert est == twin
+    assert abs(est["jaccard"] - 0.2) < 3 / (64 ** 0.5)
+
+    # duplicate ids on one side must not bias (distinct guard)
+    df_a_dup = df_a.unionByName(df_a.limit(50))
+    dup = agg.bottomk_overlap(df_a_dup, df_b, "id", 64)
+    assert dup == est
+
+    # larger corpus sanity: 10k/10k with J=1/3, k=512
+    big_a = [f"d{i}" for i in range(10_000)]
+    big_b = [f"d{i}" for i in range(5_000, 15_000)]
+    big = refsketch.bottomk_overlap_py(big_a, big_b, 512)
+    true_j = 5_000 / 15_000
+    assert abs(big["jaccard"] - true_j) < 3 * (true_j * (1 - true_j) / 512) ** 0.5 + 0.02
+    assert abs(big["union"] - 15_000) / 15_000 < 0.1
+
+    # empty side
+    empty = spark.createDataFrame([], "id string")
+    z = agg.bottomk_overlap(df_a, empty, "id", 16)
+    assert z["jaccard"] == 0.0 and z["intersection"] == 0.0 and z["n_b"] == 0
