@@ -242,6 +242,72 @@ def training_order(
     return out.repartitionByRange(n, key_col, id_col).sortWithinPartitions(key_col, id_col)
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_stages: int = 10,
+    ascending: bool = True,
+    id_col: str = "doc_id",
+    seed: str = "curriculum",
+    sample_k: int = 4096,
+    stage_col: str = "stage",
+    key_col: str = "order_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: stage documents into ``n_stages``
+    difficulty/quality bands and fix a reproducible order that runs the
+    bands in sequence (easy→hard with ``ascending=True``) while fully
+    shuffling WITHIN each band — the Bengio et al. 2009 schedule as a
+    data-layout op, so the trainer just streams shards in order.
+
+    Band boundaries come from the coordinated bottom-k sample's type-1
+    quantiles (:func:`logagg.aggregate.sampled_quantiles`) rather than
+    ``approxQuantile``: the bottom-k rule is content-independent and
+    partitioning-invariant, so the SAME corpus always yields the SAME
+    boundaries (reproducibility is the whole point of a fixed training
+    order). Assignment is one broadcast-free range comparison per row
+    (boundaries are a driver-side list of ≤ n_stages-1 values inlined
+    into a Catalyst sum-of-flags), the order key is the usual
+    md5(seed:id) shuffle within the band, and the global layout is one
+    ``repartitionByRange`` + local sort on (stage, key, id) — no
+    single-partition funnel, same plan family as
+    :func:`training_order`. NULL scores land in the last band (train on
+    unscored material at the end, where a curriculum's assumptions are
+    weakest)."""
+    from logagg import aggregate
+
+    if n_stages < 2:
+        raise ValueError("n_stages must be >= 2")
+    probs = tuple(i / n_stages for i in range(1, n_stages))
+    bounds = [
+        v
+        for _, v in aggregate.sampled_quantiles(
+            df, score_col, id_col, k=sample_k, probs=probs
+        )
+        if v is not None
+    ]
+    s = F.col(score_col).cast("double")
+    # stage = number of boundaries strictly below the score (dup
+    # boundaries collapse bands — harmless, ordering is preserved)
+    stage_expr = F.lit(0)
+    for b in bounds:
+        stage_expr = stage_expr + (s > F.lit(float(b))).cast("int")
+    if not ascending:
+        stage_expr = F.lit(len(bounds)) - stage_expr
+    stage_expr = F.when(s.isNull() | F.isnan(s), F.lit(len(bounds) + 1)).otherwise(
+        stage_expr
+    )
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")).cast("binary")
+    )
+    out = df.withColumn(stage_col, stage_expr).withColumn(key_col, key)
+    n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(
+        n, stage_col, key_col, id_col
+    ).sortWithinPartitions(stage_col, key_col, id_col)
+
+
 def host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a hostname, most-specific first:
     'a.b.co' → ['a.b.co', 'b.co', 'co']. NULL host → empty array."""
