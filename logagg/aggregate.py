@@ -416,34 +416,33 @@ def bloom_probe(
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """Membership probe against driver-held dense registers: the bitmap
-    rides as ONE broadcast row (n_bits/64 longs — 1 MiB at n_bits=2^26)
-    cross-joined onto every partition, and the test is a Catalyst
-    ``forall`` over the n_hashes bit positions — whole-stage codegen, no
-    Python, no shuffle, map-only above the scan. ``out_col`` is false ⇒
-    the key was NEVER inserted (no false negatives); true ⇒ probably
-    inserted (verify exactly if it matters — that asymmetry is the whole
-    trick of :func:`logagg.frontier.filter_unseen_bloom`). Null keys
-    probe false."""
+    rides as ONE array LITERAL in the plan (n_bits/64 longs — 1 MiB of
+    plan payload at n_bits=2^26, shipped once per stage with the task
+    binary), and the test is a Catalyst ``forall`` over the n_hashes bit
+    positions — whole-stage codegen, no Python, no join, no shuffle,
+    map-only above the scan. (A 1-row broadcast crossJoin carries the
+    same bytes but trips an AQE attribute-binding bug when the probe
+    feeds a downstream join — lambda capture across
+    BroadcastNestedLoopJoin; the literal form has no join to rebind
+    across.) ``out_col`` is false ⇒ the key was NEVER inserted (no false
+    negatives); true ⇒ probably inserted (verify exactly if it matters —
+    that asymmetry is the whole trick of
+    :func:`logagg.frontier.filter_unseen_bloom`). Null keys probe
+    false."""
     if len(regs) * 64 != n_bits:
         raise ValueError("regs length does not match n_bits")
-    spark = df.sparkSession
-    regs_df = spark.createDataFrame([(regs,)], "_bloom_regs array<bigint>")
+    regs_lit = F.lit([int(v) for v in regs])
     key = F.col(key_col).cast("string")
 
     def _test(j):
         h = _bloom_hash(j, key, n_bits)
         word = F.shiftright(h, 6).cast("int") + F.lit(1)  # element_at is 1-based
         return (
-            F.element_at(F.col("_bloom_regs"), word).bitwiseAND(_bloom_mask(h))
-            != F.lit(0)
+            F.element_at(regs_lit, word).bitwiseAND(_bloom_mask(h)) != F.lit(0)
         )
 
     hit = F.forall(F.sequence(F.lit(0), F.lit(n_hashes - 1)), _test)
-    return (
-        df.crossJoin(F.broadcast(regs_df))
-        .withColumn(out_col, F.coalesce(hit, F.lit(False)))
-        .drop("_bloom_regs")
-    )
+    return df.withColumn(out_col, F.coalesce(hit, F.lit(False)))
 
 
 def bloom_fpr(n_bits: int, n_hashes: int, n_keys: int) -> float:

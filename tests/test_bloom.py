@@ -120,10 +120,11 @@ def test_bloom_plan_shapes(spark):
         aggregate.bloom_probe(df, "key", regs, n_bits=M, n_hashes=K)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # map-only above the scan: broadcast one register row, no shuffle, no Python
-    assert "Exchange hashpartitioning" not in probe_plan
+    # map-only above the scan: registers are a plan literal — no join of
+    # any kind, no shuffle, no Python
+    assert "Exchange" not in probe_plan
+    assert "Join" not in probe_plan
     assert "BatchEvalPython" not in probe_plan and "ArrowEvalPython" not in probe_plan
-    assert "BroadcastExchange" in probe_plan
 
 
 # ---------------------------------------------------------------------------
