@@ -591,3 +591,13 @@ def bottomk_overlap_py(ids_a: list, ids_b: list, k: int) -> dict:
         "n_b": n_b,
         "k_used": k_used,
     }
+
+
+def quantize_py(X: np.ndarray, mn: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Shared int8 scalar-quantization kernel (similarity.quantize_embeddings
+    and its twin): code = round((x-mn)/scale) clamped to [0,255]; zero-scale
+    dims code to 0."""
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.rint((X - mn) / safe)
+    q = np.where(scale > 0, q, 0.0)
+    return np.clip(q, 0, 255).astype(np.uint8)

@@ -384,3 +384,55 @@ def test_ann_pca_rerank_exact_at_full_rank_and_recall_reduced(spark):
 
     with pytest.raises(ValueError):
         similarity.ann_pca_rerank(emb, 4, 10, candidates=5)
+
+
+def test_quantize_and_ann_int8_rerank(spark):
+    """int8 codes round-trip within scale/2 per dim, are twin-exact, and
+    the quantized ANN with a corpus-wide candidate pool reproduces
+    ann_bruteforce exactly (full-precision re-rank makes quantization
+    noise a recall question, never a correctness one)."""
+    import numpy as np
+
+    from logagg import refsketch, similarity
+
+    emb = _emb(spark)
+    model = similarity.quantize_fit(emb)
+    assert (model["scale"] >= 0).all()
+    quantized = similarity.quantize_embeddings(emb, model)
+    rows = quantized.select("vec_id", "embedding", "qvec").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.array([np.frombuffer(r["qvec"], dtype=np.uint8) for r in rows])
+    # twin-exact codes
+    np.testing.assert_array_equal(
+        Q, refsketch.quantize_py(X, model["mn"], model["scale"])
+    )
+    # dequantization error bounded by scale/2 per dim
+    err = np.abs(Q * model["scale"] + model["mn"] - X)
+    assert (err <= model["scale"] / 2 + 1e-12).all()
+    # 4x memory cut: d bytes vs d doubles
+    assert len(rows[0]["qvec"]) == X.shape[1]
+
+    n = emb.count()
+    exact = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ann_bruteforce(emb, 4, 5).collect()
+    }
+    full = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in similarity.ann_int8_rerank(emb, 4, 5, candidates=n).collect()
+    }
+    assert full == exact
+
+    small = {
+        (r["qid"], r["nid"])
+        for r in similarity.ann_int8_rerank(emb, 4, 5, candidates=32).collect()
+    }
+    truth = {(q, nid) for q, nid, _ in exact}
+    assert len(small & truth) / len(truth) >= 0.8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.ann_int8_rerank(emb, 4, 10, candidates=5)
+    with pytest.raises(ValueError):
+        similarity.quantize_fit(emb.filter("vec_id < 0"))
