@@ -15,6 +15,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -83,3 +84,60 @@ class Catalog:
         if self.iceberg:
             return self.spark.catalog.tableExists(table)
         return Path(self._path(table)).exists()
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_mb: int = 256,
+    partition_cols: tuple[str, ...] = (),
+) -> dict:
+    """Squash the small files that streaming appends accumulate (every
+    micro-batch of :func:`logagg.streaming.run_streaming_frontier` /
+    `run_streaming_route_multiplex` lands its own files; a day of
+    triggers = thousands of kilobyte parquet files whose open/footer
+    cost dominates the next scan). Rewrites the dir at ~``target_mb``
+    per file: partition count = ceil(live_bytes / target), preserving
+    hive partition columns when given (one file per partition value
+    otherwise the global coalesce would destroy partition pruning).
+
+    Same local-fs tmp-dir + rename swap as
+    :func:`logagg.searchidx.compact_index`; on a cluster this job is one
+    Iceberg ``rewrite_data_files`` transaction (the catalog branch
+    above). Row set is IDENTICAL before and after (pinned by test).
+    Returns ``{files_before, files_after, bytes}``. Readers caching
+    plans over ``path`` must re-read after the swap (Spark's CacheManager
+    recache-by-path applies — the repo's standard lineage-cut rule)."""
+    import os
+    import shutil
+
+    def _stats() -> tuple[int, int]:
+        n = b = 0
+        for root, _, fs in os.walk(path):
+            if "__compact" in root:
+                continue
+            for f in fs:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    before, nbytes = _stats()
+    live = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact"
+    n_parts = max(1, -(-nbytes // (target_mb * 1024 * 1024)))
+    if partition_cols:
+        w = (
+            live.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        w = live.repartition(n_parts).write.mode("overwrite")
+    w.parquet(tmp)
+    dest = path.rstrip("/")
+    shutil.rmtree(dest)
+    os.rename(tmp, dest)
+    after, _ = _stats()
+    return {"files_before": before, "files_after": after, "bytes": nbytes}

@@ -40,3 +40,47 @@ def test_bucketed_write_elides_join_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan  # bucket co-location
     assert "SortMergeJoin" in plan, plan
     assert joined.count() == 10_000
+
+
+def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
+    """Many small appended files → few files, identical row set; the
+    partitioned variant keeps the hive layout (pruning survives)."""
+    from pyspark.sql import functions as F
+
+    from logagg import catalog
+
+    flat = str(tmp_path / "flat")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(2).write.mode("append").parquet(flat)
+    before = {tuple(r) for r in spark.read.parquet(flat).collect()}
+    stats = catalog.compact_parquet_dir(spark, flat, target_mb=256)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny data → single target file
+    after = {tuple(r) for r in spark.read.parquet(flat).collect()}
+    assert after == before
+
+    part = str(tmp_path / "part")
+    for i in range(4):
+        (
+            spark.range(40)
+            .withColumn("batch_id", F.lit(i % 2))
+            .withColumn("v", F.col("id") + i)
+            .coalesce(3)
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(part)
+        )
+    before_p = {tuple(r) for r in spark.read.parquet(part).collect()}
+    stats_p = catalog.compact_parquet_dir(
+        spark, part, partition_cols=("batch_id",)
+    )
+    assert stats_p["files_after"] < stats_p["files_before"]
+    import os
+
+    assert sorted(
+        d for d in os.listdir(part) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+    after_p = {tuple(r) for r in spark.read.parquet(part).collect()}
+    assert after_p == before_p

@@ -581,9 +581,9 @@ def main(only: list[str]) -> int:
             print(f"  [VIOLATION] {msg}")
         if not kfails:
             print(
-                "  [ok] bloom build one bounded exchange / probe map-only "
-                "broadcast; weighted_sample TakeOrdered; pca_project one "
-                "Arrow pass no shuffle"
+                "  [ok] bloom build one bounded exchange / probe literal-"
+                "inlined join-free; weighted_sample TakeOrdered; "
+                "pca_project one Arrow pass no shuffle"
             )
         rc |= 1 if kfails else 0
     return rc
