@@ -75,10 +75,13 @@ def test_manifest_accounting_chains(spark, crafted):
     assert {"bucket", "seq_idx", "seq_offset", "n_windows"} <= set(res.docs.columns)
     assert res.manifest_df(spark).count() == len(m)
     # cache hygiene: pipelined persist must leave ONLY the final stage
-    # cached, and unpersist() releases that
+    # cached, and unpersist() releases that. <= not ==: the session-wide
+    # count can DROP mid-test when py4j GC releases localCheckpoint
+    # frames persisted by earlier test files (same lesson as
+    # test_dup_clusters_chain_converges_logarithmically)
     res.docs.count()
     res.unpersist()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= cached_before
 
 
 def test_equivalent_to_manual_stage_application(spark, crafted):
