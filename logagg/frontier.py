@@ -603,6 +603,37 @@ def commit_seen(
     ).parquet(f"{seen_dir}/bloom")
 
 
+def snapshot_overlap(
+    crawl_a: DataFrame,
+    crawl_b: DataFrame,
+    *,
+    url_col: str = "url",
+    k: int = 4096,
+) -> dict:
+    """Sketch-scale dual of :func:`snapshot_diff`: how much do two crawls
+    overlap, estimated from coordinated bottom-k samples of their
+    CANONICAL url sets (:func:`logagg.aggregate.bottomk_overlap`) — two
+    TakeOrdered jobs and two counts instead of the full-outer join, the
+    right first question before paying for the exact per-host diff.
+    Canonicalization runs first on both sides so recrawl noise (tracking
+    params, fragments, case) doesn't read as churn; ids are distinct by
+    construction after canonicalization's dedup, so the estimator's
+    ``assume_unique`` fast path applies. Returns the
+    ``bottomk_overlap`` dict (jaccard/union/intersection/n_a/n_b/
+    k_used); k_used < k ⇒ exact."""
+    from logagg import aggregate
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return (
+            df.select(textstats.canonical_url(F.col(url_col)).alias("canon"))
+            .distinct()
+        )
+
+    return aggregate.bottomk_overlap(
+        keyed(crawl_a), keyed(crawl_b), "canon", k, assume_unique=True
+    )
+
+
 def _read_parquet_or_none(spark, path: str):
     try:
         df = spark.read.parquet(path)

@@ -242,6 +242,56 @@ def training_order(
     return out.repartitionByRange(n, key_col, id_col).sortWithinPartitions(key_col, id_col)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "wrs",
+) -> DataFrame:
+    """Stratified :func:`weighted_sample`: exactly-k (or all, if fewer)
+    rows PER GROUP, weighted within each group — "the quality-skewed k
+    docs per language / per source / per k-means cluster" in one pass.
+    Same A-ES key (ln(u)/w, deterministic md5 uniform), ranked by a
+    window within the group instead of a global TakeOrdered: one shuffle
+    on ``group_col``, so millions of groups are fine but a single
+    monster group concentrates on one task — for the uniform-weight case
+    at heavy skew use :func:`logagg.similarity.cluster_balanced_sample`'s
+    hash-rank rule with salting instead. Exclusion rule (null/zero/
+    negative/non-finite weights) and determinism contract match
+    :func:`weighted_sample`; the per-group sample equals the global
+    function applied to that group alone (pinned by test — windowed rank
+    and TakeOrdered agree on the same key)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / w
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_wrs_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0) & ~F.isnan(w) & (w < F.lit(float("inf"))))
+        .withColumn("_wrs_key", key)
+        .withColumn("_wrs_rn", F.row_number().over(win))
+        .filter(F.col("_wrs_rn") <= k)
+        .drop("_wrs_key", "_wrs_rn")
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -750,3 +750,24 @@ def test_fetch_plan_matches_twin_and_invariants(spark):
             default=-1.0,
         )
         assert kept_min >= cut_max
+
+
+def test_snapshot_overlap_sketch_estimates(spark):
+    """Sketch-scale crawl overlap: canonicalization collapses recrawl
+    noise before sampling, and with k >= |union| the estimates are
+    exact."""
+    a_urls = [f"http://h.example.com/p/{i}" for i in range(100)]
+    b_urls = [
+        f"http://H.example.com/p/{i}?utm_source=x#frag" for i in range(50, 150)
+    ]  # same canonical space, shifted window: |∩|=50, |∪|=150
+    a = spark.createDataFrame([(u,) for u in a_urls], "url string")
+    b = spark.createDataFrame([(u,) for u in b_urls], "url string")
+    est = frontier.snapshot_overlap(a, b, k=4096)
+    assert est["k_used"] == 150
+    assert est["jaccard"] == pytest.approx(50 / 150)
+    assert est["union"] == pytest.approx(150.0)
+    assert est["intersection"] == pytest.approx(50.0)
+    assert est["n_a"] == 100 and est["n_b"] == 100
+    # sketch regime still lands near truth
+    small = frontier.snapshot_overlap(a, b, k=48)
+    assert abs(small["jaccard"] - 1 / 3) < 0.25

@@ -430,3 +430,30 @@ def test_curriculum_order_stages_and_reproducibility(spark, docs):
 
     with pytest.raises(ValueError):
         m.curriculum_order(scored, "score", n_stages=1)
+
+
+def test_weighted_sample_per_group_equals_global_per_group(spark, docs):
+    """Per-group stratified A-ES: each group's pick == the global
+    weighted_sample applied to that group alone, exactly k (or all) rows
+    per group, same exclusion rule."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 7 + 1).cast("double").alias("w"),
+    )
+    out = mix.weighted_sample_per_group(base, "source", "w", 5, id_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    sources = [r["source"] for r in base.select("source").distinct().collect()]
+    assert set(got) == set(sources)
+    for s in sources:
+        grp = base.filter(F.col("source") == s)
+        want = {
+            r["doc_id"] for r in mix.weighted_sample(grp, "w", 5, id_col="doc_id").collect()
+        }
+        assert got[s] == want
+        assert len(got[s]) == min(5, grp.count())
+    # group smaller than k: all rows survive
+    tiny = base.filter(F.col("doc_id") < 3)
+    assert mix.weighted_sample_per_group(tiny, "source", "w", 50).count() == 3
