@@ -252,3 +252,67 @@ def decode_ids(ids: list, model: BPEModel) -> str:
     Raises KeyError on BPE_UNK_ID — unknown characters are not decodable."""
     rev = model.id_to_symbol()
     return "".join(rev[i] for i in ids)
+
+
+def fertility_report(
+    docs: DataFrame,
+    model: "BPEModel",
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fit diagnostic per source: fertility (BPE tokens per
+    whitespace word — the standard "how well does this vocab cover this
+    text" number; near 1 on in-domain text, inflating on unseen
+    languages/domains), bytes per token (compression), and the unknown-id
+    share (coverage holes). The per-source numbers tell a data team
+    WHICH slice of a mixture a tokenizer was not trained for — run it
+    before committing a vocab to a training mix.
+
+    One encode pass (:func:`bpe_encode` — broadcast model, zero
+    shuffles) joined back to the doc metadata (broadcast-sized: the
+    encode output is keyed by id) plus ONE partial+final agg over
+    #sources groups. Output: (source, n_docs, n_words, n_tokens,
+    n_bytes, fertility, bytes_per_token, unk_frac), source-sorted."""
+    enc = bpe_encode(docs, model, id_col=id_col, text_col=text_col)
+    # split() emits empty fields around separators; count words as
+    # non-empty tokens exactly like the repo's ASCII-whitespace contract
+    words = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\x0b\f\r]+"), lambda t: t != ""
+        )
+    )
+    meta = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(source_col).alias("_src"),
+        words.alias("_words"),
+        F.length(F.col(text_col).cast("binary")).alias("_bytes"),
+    )
+    joined = enc.join(meta, "id")
+    unk = F.size(F.filter(F.col("ids"), lambda i: i == F.lit(BPE_UNK_ID)))
+    return (
+        joined.withColumn("_unk", unk)
+        .groupBy(F.col("_src").alias(source_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum("_bytes").alias("n_bytes"),
+            F.sum("_unk").alias("n_unk"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.when(F.col("n_tokens") > 0, F.col("n_bytes") / F.col("n_tokens")),
+        )
+        .withColumn(
+            "unk_frac",
+            F.when(F.col("n_tokens") > 0, F.col("n_unk") / F.col("n_tokens")),
+        )
+        .drop("n_unk")
+        .orderBy(source_col)
+    )

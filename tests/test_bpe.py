@@ -127,3 +127,42 @@ def test_merges_compress(spark, docs_df):
     n_trained = bpe.bpe_encode(sample, trained).agg(F.sum("n_bpe_tokens")).collect()[0][0]
     n_chars = bpe.bpe_encode(sample, baseline).agg(F.sum("n_bpe_tokens")).collect()[0][0]
     assert n_trained < n_chars  # merges actually compress the corpus
+
+
+def test_fertility_report(spark):
+    """Per-source tokenizer diagnostics: in-vocab text has unk_frac 0 and
+    driver-exact token/word sums; an out-of-alphabet source shows a
+    nonzero unknown share."""
+    from pyspark.sql import functions as F
+
+    from logagg import bpe as bpemod
+
+    train = spark.createDataFrame(
+        [(str(i), "low lower lowest newer newest wider") for i in range(8)],
+        "doc_id string, text string",
+    )
+    model = bpemod.train_bpe(train, 30)
+    docs = spark.createDataFrame(
+        [
+            ("a1", "srcA", "low lower newest"),
+            ("a2", "srcA", "wider low"),
+            ("b1", "srcB", "Δ unseen ¤ glyphs"),  # chars outside the alphabet
+        ],
+        "doc_id string, source string, text string",
+    )
+    rep = {r["source"]: r for r in bpemod.fertility_report(docs, model).collect()}
+    assert set(rep) == {"srcA", "srcB"}
+    a = rep["srcA"]
+    assert a["n_docs"] == 2 and a["n_words"] == 5
+    # driver-exact token count via the shared per-word merge kernel
+    pretok = re.compile(BPE_SPLIT_RE)
+    want_tokens = sum(
+        len(textfns.bpe_word_py(w, model.ranks))
+        for text in ("low lower newest", "wider low")
+        for w in pretok.findall(text)
+    )
+    assert a["n_tokens"] == want_tokens
+    assert a["unk_frac"] == 0.0
+    assert a["fertility"] >= 1.0 and a["bytes_per_token"] > 0
+    b = rep["srcB"]
+    assert b["unk_frac"] > 0
