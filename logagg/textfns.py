@@ -220,22 +220,29 @@ def cut_spans_py(text: str, spans: list) -> str:
 
 
 def score_tokens_py(toks: list, lm) -> tuple:
-    """Stupid-backoff bigram scoring — THE single-source kernel behind
+    """Stupid-backoff n-gram scoring — THE single-source kernel behind
     ``logagg.lm.doc_perplexity`` (same pattern as repetition_stats_py):
     left-to-right over the UNK-mapped token stream,
 
-        S(w | prev) = c(prev w) / c(prev)          when the bigram is kept
-                    = alpha * S_uni(w)             otherwise
-        S_uni(w)    = (c(w) + 1) / (total + V)     (add-one: UNK may have
+        S(w | u, v)  = c(u v w) / c(u v)           trigram AND its context
+                                                   bigram both kept
+                     = alpha * S(w | v)            otherwise
+        S(w | prev)  = c(prev w) / c(prev)         when the bigram is kept
+                     = alpha * S_uni(w)            otherwise
+        S_uni(w)     = (c(w) + 1) / (total + V)    (add-one: UNK may have
                                                     count 0; V counts the
                                                     UNK bucket)
 
-    with no alpha on the first token (no context to back off from).
+    with no alpha on the first token (no context to back off from) and
+    plain bigram scoring on the second. Trigram logic engages ONLY when
+    ``lm.trigrams`` is non-empty — an order-2 model scores bit-identically
+    to the pre-trigram kernel (same folds, same libm calls).
     Returns (n_tokens, sum log S, perplexity = exp(-mean log S)); empty
     docs return (0, 0.0, None). Deterministic: integer counts, a fixed
     fold order, one libm — bit-identical across runs and partitionings.
     ``lm`` is any object with vocab/unk_n/total/bigrams/alpha/n_vocab
-    (duck-typed so this module stays import-cycle-free)."""
+    (+ optional trigrams; duck-typed so this module stays
+    import-cycle-free)."""
     import math
 
     from logagg.schemas import LM_UNK
@@ -244,17 +251,26 @@ def score_tokens_py(toks: list, lm) -> tuple:
     if n == 0:
         return 0, 0.0, None
     v = lm.n_vocab
+    tri = getattr(lm, "trigrams", None)
     logp = 0.0
-    prev = None
+    prev2 = prev = None
     for t in toks:
         w = t if t in lm.vocab else LM_UNK
+        if tri and prev2 is not None:
+            c3 = tri.get(prev2 + " " + prev + " " + w)
+            c2 = lm.bigrams.get(prev2 + " " + prev)
+            if c3 and c2:
+                logp += math.log(c3 / c2)
+                prev2, prev = prev, w
+                continue
         big = lm.bigrams.get(prev + " " + w) if prev is not None else None
         if big:
-            logp += math.log(big / (lm.unk_n if prev == LM_UNK else lm.vocab[prev]))
+            p2 = big / (lm.unk_n if prev == LM_UNK else lm.vocab[prev])
         else:
             uni = ((lm.unk_n if w == LM_UNK else lm.vocab[w]) + 1) / (lm.total + v)
-            logp += math.log(uni if prev is None else lm.alpha * uni)
-        prev = w
+            p2 = uni if prev is None else lm.alpha * uni
+        logp += math.log(p2 if not (tri and prev2 is not None) else lm.alpha * p2)
+        prev2, prev = prev, w
     return n, logp, math.exp(-logp / n)
 
 

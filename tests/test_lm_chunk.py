@@ -235,3 +235,82 @@ def test_chunk_documents_plan_is_narrow(spark, docs_df):
     plan = textstats.chunk_documents(docs_df, max_tokens=64)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+# ------------------------------------------------- trigram order
+
+
+def test_train_lm_order3_hand_computed(spark):
+    """Corpus "a b c a b c": trigram table and 3-gram stupid-backoff
+    scores pinned by hand; order=2 models stay trigram-free and score
+    exactly as before."""
+    import math
+
+    df = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    m3 = lm.train_lm(df, top_k=10, max_bigrams=100, order=3)
+    assert m3.vocab == {"a": 2, "b": 2, "c": 2}
+    assert m3.bigrams == {"a b": 2, "b c": 2, "c a": 1}
+    assert m3.trigrams == {"a b c": 2, "b c a": 1, "c a b": 1}
+
+    # score "a b c a" by hand:
+    # pos1 "a": uni = (2+1)/(6+4)           (no alpha, no context)
+    # pos2 "b": bigram a b → 2/2            (second token: plain bigram)
+    # pos3 "c": trigram "a b c"=2 / bigram "a b"=2 → 1
+    # pos4 "a": trigram "b c a"=1 / bigram "b c"=2 → 0.5
+    n, logp, ppl = textfns.score_tokens_py(["a", "b", "c", "a"], m3)
+    want = math.log(3 / 10) + math.log(2 / 2) + math.log(2 / 2) + math.log(1 / 2)
+    assert n == 4 and logp == pytest.approx(want, abs=1e-12)
+    assert ppl == pytest.approx(math.exp(-want / 4), rel=1e-12)
+
+    # trigram miss backs off with ONE alpha onto the bigram score:
+    # "c a b": tri "c a b"=1, bigram ctx "c a"=1 → 1/1; then "b a" after:
+    # tri "a b a" absent → alpha * S(a | b) = alpha * (bigram "b a" absent
+    # → alpha * uni(a)) = alpha^2 * (2+1)/10
+    n2, logp2, _ = textfns.score_tokens_py(["c", "a", "b", "a"], m3)
+    want2 = (
+        math.log(3 / 10)          # "c": uni (c count 2 → (2+1)/10)... see below
+        + math.log(1 / 2)         # "a": bigram "c a"=1 / c(c)=2
+        + math.log(1 / 1)         # "b": trigram "c a b"=1 / bigram "c a"=1
+        + math.log(m3.alpha * m3.alpha * (3 / 10))  # "a": double backoff
+    )
+    assert logp2 == pytest.approx(want2, abs=1e-12)
+
+    # order=2 on the same corpus: no trigram table, old math untouched
+    m2 = lm.train_lm(df, top_k=10, max_bigrams=100)
+    assert m2.trigrams == {}
+    n3, logp3, _ = textfns.score_tokens_py(["a", "b", "c", "a"], m2)
+    want3 = math.log(3 / 10) + math.log(2 / 2) + math.log(2 / 2) + math.log(1 / 2)
+    assert logp3 == pytest.approx(want3, abs=1e-12)
+
+    with pytest.raises(ValueError):
+        lm.train_lm(df, order=4)
+
+
+def test_lm_trigram_json_roundtrip_and_backward_compat(spark):
+    import json
+
+    df = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    m3 = lm.train_lm(df, top_k=10, max_bigrams=100, order=3)
+    back = lm.LocalLM.from_json(m3.to_json())
+    assert back == m3 and back.trigrams == m3.trigrams
+    # a pre-trigram model file (no "trigrams" key) still loads
+    d = json.loads(m3.to_json())
+    del d["trigrams"]
+    old = lm.LocalLM.from_json(json.dumps(d))
+    assert old.trigrams == {} and old.vocab == m3.vocab
+
+
+def test_order3_scores_corpus_and_separates(spark, docs_df):
+    """Trigram model on the corpus: finite perplexities everywhere, and
+    in-domain text still scores far below shuffled gibberish."""
+    sample = docs_df.limit(60)
+    m3 = lm.train_lm(sample, top_k=2000, max_bigrams=20000, order=3, max_trigrams=20000)
+    assert m3.trigrams
+    scored = lm.with_perplexity(sample, m3).select("ppl").collect()
+    ppls = [r["ppl"] for r in scored]
+    assert all(p is not None and p > 0 for p in ppls)
+    row = sample.select("text").first()
+    toks = textfns.tokens(row["text"])
+    fluent = textfns.score_tokens_py(toks, m3)[2]
+    shuffled = textfns.score_tokens_py(list(reversed(toks)), m3)[2]
+    assert fluent < shuffled
