@@ -53,6 +53,8 @@ def main() -> None:
     ap.add_argument("--lm-train", default=None,
                     help="clean-corpus parquet to train the LM on (default: the input docs)")
     ap.add_argument("--lm-top-k", type=int, default=50_000)
+    ap.add_argument("--lm-order", type=int, default=2, choices=(2, 3),
+                    help="n-gram order for a freshly trained perplexity LM")
     ap.add_argument("--lm-max-bigrams", type=int, default=500_000)
     ap.add_argument("--quality-model", default=None,
                     help="MLlib LogisticRegressionModel dir (classify.train_quality_classifier().save)")
@@ -103,6 +105,7 @@ def main() -> None:
                 train_docs,
                 top_k=args.lm_top_k,
                 max_bigrams=args.lm_max_bigrams,
+                order=args.lm_order,
                 text_col=args.text_col,
             )
             if args.lm_model:
