@@ -281,3 +281,48 @@ def test_streaming_frontier_equals_batch_and_replays(spark, tmp_path):
             spark, str(in_dir), seen_s, out, str(tmp_path / "ckpt2"),
             n_bits=1 << 10, n_hashes=3, max_files_per_trigger=1,
         )
+
+
+def test_streaming_frontier_output_survives_compaction(spark, tmp_path):
+    """Operational composition: after a quiesced streaming run, compacting
+    the fragmented fresh-URL output (hive batch_id layout preserved) must
+    keep the row set identical AND leave replay semantics intact — the
+    ledger markers under seen_dir short-circuit every committed batch, so
+    the rewritten output is never clobbered."""
+    import os
+    import shutil
+
+    from logagg import catalog, streaming
+
+    in_dir = tmp_path / "in"
+    seen = str(tmp_path / "seen")
+    out = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    for i, batch in enumerate(BATCHES):
+        before = set(in_dir.glob("part-*")) if in_dir.exists() else set()
+        _urls_df(spark, batch).coalesce(1).write.mode("append").parquet(str(in_dir))
+        (new_part,) = set(in_dir.glob("part-*")) - before
+        os.utime(new_part, (2_000_000 + i * 1000, 2_000_000 + i * 1000))
+    counts = streaming.run_streaming_frontier(
+        spark, str(in_dir), seen, out, ckpt, max_files_per_trigger=1
+    )
+    rows_before = {
+        tuple(r) for r in spark.read.parquet(out).select("url", "batch_id").collect()
+    }
+    stats = catalog.compact_parquet_dir(spark, out, partition_cols=("batch_id",))
+    assert stats["files_after"] <= stats["files_before"]
+    rows_after = {
+        tuple(r) for r in spark.read.parquet(out).select("url", "batch_id").collect()
+    }
+    assert rows_after == rows_before
+    # replay after compaction: markers present → every batch skipped,
+    # counts identical, compacted output untouched
+    shutil.rmtree(ckpt)
+    counts2 = streaming.run_streaming_frontier(
+        spark, str(in_dir), seen, out, ckpt, max_files_per_trigger=1
+    )
+    assert counts2 == counts
+    rows_replay = {
+        tuple(r) for r in spark.read.parquet(out).select("url", "batch_id").collect()
+    }
+    assert rows_replay == rows_before
