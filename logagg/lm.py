@@ -285,15 +285,39 @@ def with_perplexity(
     text_col: str = "text",
     out_col: str = "ppl",
 ) -> DataFrame:
-    """``docs`` plus a ``ppl`` column — the scoring kernel joined back on
-    the string-cast id (Arrow kernels carry string ids; the join restores
-    the caller's id type)."""
-    scored = doc_perplexity(docs, lm, id_col=id_col, text_col=text_col).select(
-        F.col("id").alias("_ppl_id"), F.col("ppl").alias(out_col)
+    """``docs`` plus a ``ppl`` column — the INPUT SCHEMA carried straight
+    through one Arrow pass (the :func:`logagg.dsir.with_importance` /
+    ``pca_project`` no-join-back shape): zero shuffles, id types and
+    every payload column untouched, and because the op is a stateless
+    projection it lifts UNCHANGED to a streaming DataFrame (a join-back
+    would be an unsupported stream-stream join — how the earlier shape
+    was caught). ``id_col`` is unused and kept for signature
+    compatibility. Zero-token documents get NULL ppl."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    bc = docs.sparkSession.sparkContext.broadcast(lm)
+    # build a NEW StructType — .add() would mutate the input's cached schema
+    schema = StructType(
+        list(docs.schema.fields) + [StructField(out_col, DoubleType())]
     )
-    return docs.join(
-        scored, F.col(id_col).cast("string") == F.col("_ppl_id"), "left"
-    ).drop("_ppl_id")
+    cols = [f.name for f in docs.schema.fields]
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logagg.textfns import score_tokens_py, tokens
+
+        m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ppl = [
+                score_tokens_py(tokens(t) if isinstance(t, str) else [], m)[2]
+                for t in pdf[text_col]
+            ]
+            out = pdf[cols].copy()
+            out[out_col] = pd.Series(ppl, dtype="float64")
+            yield out
+
+    return docs.mapInPandas(_score, schema)
 
 
 def perplexity_py(text: str, lm: LocalLM) -> float | None:

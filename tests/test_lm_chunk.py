@@ -314,3 +314,15 @@ def test_order3_scores_corpus_and_separates(spark, docs_df):
     fluent = textfns.score_tokens_py(toks, m3)[2]
     shuffled = textfns.score_tokens_py(list(reversed(toks)), m3)[2]
     assert fluent < shuffled
+
+
+def test_with_perplexity_is_map_only(spark, docs_df, tiny_lm):
+    # no join-back: one Arrow pass, no Exchange — the shape that lifts
+    # to streaming (no .limit here: limit itself plans an Exchange
+    # SinglePartition and would mask the property under test)
+    plan = (
+        lm.with_perplexity(docs_df, tiny_lm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("MapInPandas") == 1

@@ -259,3 +259,56 @@ def test_streaming_heavy_hitters_error_bound_small_capacity(spark, tmp_path):
     assert len(state) <= 8
     n = len(rows)
     assert "hot" in state and 300 - n / 9 <= state["hot"] <= 300
+
+
+def test_stateless_curation_ops_lift_to_streams(spark, tmp_path):
+    """The map-only curation operators (langid, quality, PII redaction,
+    LM perplexity — pure projections or stateless Arrow passes) run on a
+    streaming DataFrame UNCHANGED and produce exactly the batch result:
+    the claim that the curate stages port to continuous ingest is a
+    structural fact, pinned here on one micro-batched stream."""
+    from logagg import lm as lmmod
+    from logagg import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src_dir)
+    model = lmmod.train_lm(docs.limit(60), top_k=2000, max_bigrams=20000)
+
+    def curate_cols(df):
+        scored = textstats.with_lang_pred(lmmod.with_perplexity(df, model))
+        return scored.select(
+            "doc_id",
+            F.col("lang_pred").alias("lang"),
+            textstats.quality_score(F.col("text"), F.length("text")).alias("q"),
+            textstats.redact_pii(F.col("text")).alias("clean"),
+            "ppl",
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        curate_cols(stream)
+        .writeStream.format("memory")
+        .queryName("curate_lift")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["lang"], r["q"], r["clean"], r["ppl"])
+        for r in spark.sql("SELECT * FROM curate_lift").collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["q"], r["clean"], r["ppl"])
+        for r in curate_cols(spark.read.parquet(src_dir)).collect()
+    }
+    assert got == want and len(got) == 500
