@@ -672,3 +672,43 @@ def yield_curve_py(
             }
         )
     return out
+
+
+def winnow_py(
+    text: str, k: int = 5, w: int = 4
+) -> list[tuple[int, int]]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of ``w`` consecutive hashes, select the minimum per window
+    (RIGHTMOST on ties — the choice that makes selections consistent
+    across overlapping windows), and keep each selected (position, hash)
+    once. Guarantee: any shared token run of length ≥ k + w - 1 between
+    two documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of grams are kept. Hash = first 15 hex chars of md5 (the
+    repo's engine-portable 60-bit convention). THE single-source kernel
+    for ``logagg.textstats.winnow_fingerprints``."""
+    import hashlib
+
+    toks = tokens(text) if isinstance(text, str) else []
+    if len(toks) < k:
+        return []
+    hs = [
+        int(
+            hashlib.md5(
+                "\x1f".join(toks[i : i + k]).encode("utf-8")
+            ).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    out: list[tuple[int, int]] = []
+    last = None
+    for start in range(max(1, len(hs) - w + 1)):
+        win = hs[start : start + w]
+        m = min(win)
+        # rightmost minimal position in this window
+        pos = start + max(i for i, v in enumerate(win) if v == m)
+        if (pos, m) != last:
+            out.append((pos, m))
+            last = (pos, m)
+    return out

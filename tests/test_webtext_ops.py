@@ -695,3 +695,51 @@ def test_yield_curve_single_scan_no_shuffle(spark, docs_df):
     plan = scored.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Scan") == 1
+
+
+# ------------------------------------------------- winnowing
+
+
+def test_winnow_fingerprints_twin_and_guarantee(spark, docs_df):
+    """Spark winnowing == the kernel applied per doc; density is the
+    ~2/(w+1) thin-out; and the MOSS guarantee holds: two docs sharing a
+    token run of >= k+w-1 share at least one fingerprint, while disjoint
+    docs share none."""
+    from logagg import textstats
+
+    k, w = 5, 4
+    sample = docs_df.limit(40)
+    got = {}
+    for r in textstats.winnow_fingerprints(sample, k=k, w=w).collect():
+        got.setdefault(r["id"], []).append((r["pos"], r["fp"]))
+    rows = {str(r["doc_id"]): r["text"] for r in sample.collect()}
+    assert set(got) <= set(rows)
+    for did, text in rows.items():
+        want = textfns.winnow_py(text, k, w)
+        assert sorted(got.get(did, [])) == sorted(want)
+        n_grams = max(0, len(textfns.tokens(text)) - k + 1)
+        if n_grams > w:
+            # winnowing keeps roughly 2/(w+1) of grams; never more than
+            # one per window start, never fewer than 1/w
+            assert len(want) <= n_grams - w + 1
+            assert len(want) >= (n_grams - w + 1) / w
+
+    # guarantee: planted shared run of k+w-1 tokens → shared fingerprint
+    shared_run = " ".join(f"tok{i}" for i in range(k + w - 1))
+    a = f"alpha beta {shared_run} gamma delta epsilon zeta"
+    b = f"one two three four {shared_run} five six seven"
+    c = "entirely different words with no overlap at all here"
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string"
+    )
+    fps = {}
+    for r in textstats.winnow_fingerprints(df, k=k, w=w).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps["a"] & fps["b"]          # the planted overlap is caught
+    assert not (fps["a"] & fps["c"])    # disjoint docs share nothing
+    assert not (fps["b"] & fps["c"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        textstats.winnow_fingerprints(df, k=0)
