@@ -898,3 +898,56 @@ def winnow_fingerprints(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(_batches, "id string, pos int, fp long")
+
+
+def winnow_overlaps(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_max: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowed fingerprints —
+    "which documents share copied passages": ``(id_a, id_b, shared)``
+    for every pair sharing ≥ ``min_shared`` fingerprints (id_a < id_b as
+    strings). By the winnowing guarantee a shared token run of ≥
+    k + w − 1 always contributes a shared fingerprint, so min_shared=2
+    roughly demands two independent shared passages (or one long one).
+
+    Scale shape = the shingle-postings pattern of
+    ``logagg.dedup.jaccard_pairs``, on a ~2/(w+1)-thinner table:
+    distinct (fp, id) postings → per-fp sorted id lists capped at
+    ``df_max`` (a fingerprint in more docs than that is boilerplate —
+    pairing everything-with-everything on it is quadratic noise, the
+    same stop-shingle argument as dedup) → JVM combo explode over the
+    bounded lists → one pair-count agg. No self-join of the exploded
+    table, no driver materialization."""
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("fp", "id")
+        .distinct()
+    )
+    postings = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= df_max))
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -743,3 +743,40 @@ def test_winnow_fingerprints_twin_and_guarantee(spark, docs_df):
 
     with pytest.raises(ValueError):
         textstats.winnow_fingerprints(df, k=0)
+
+
+def test_winnow_overlaps_finds_planted_passages(spark):
+    """Two planted shared passages → a pair at min_shared=2; a single
+    short overlap stays below it; boilerplate fingerprints (df > df_max)
+    pair nothing."""
+    from logagg import textstats
+
+    k, w = 5, 4
+    run1 = " ".join(f"p{i}" for i in range(k + w - 1))
+    run2 = " ".join(f"q{i}" for i in range(k + w - 1))
+    rows = [
+        ("a", f"alpha beta {run1} middle words here {run2} tail end text"),
+        ("b", f"start {run1} other unrelated stuff {run2} closing words now"),
+        ("c", f"only one overlap {run1} nothing else in common at all"),
+        ("d", "completely disjoint document with none of those passages"),
+    ]
+    # boilerplate: the same footer on MANY docs — df_max cuts it
+    footer = " ".join(f"f{i}" for i in range(k + w - 1))
+    rows += [(f"bp{i}", f"doc {i} body text variant {i} {footer}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in textstats.winnow_overlaps(
+            df, k=k, w=w, min_shared=2, df_max=4
+        ).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    # c shares only run1 with a/b: below min_shared=2 unless the run
+    # contributes 2+ fingerprints — allow either absence or lower count
+    for pair, n in got.items():
+        assert n >= 2
+    # the 8 boilerplate docs share ONLY the footer (df=8 > df_max=4):
+    # no bp-bp pair may appear
+    assert not any(a.startswith("bp") and b.startswith("bp") for a, b in got)
+    assert not any("d" in pair for pair in got)
