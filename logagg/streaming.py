@@ -515,3 +515,83 @@ def run_streaming_frontier(
     finally:
         q.stop()
     return counts
+
+
+def run_streaming_bottomk(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "url",
+    k: int = 1024,
+    max_files_per_trigger: int = 8,
+) -> int:
+    """Maintain the coordinated bottom-k sample of everything ever seen
+    on a stream — the continuously-updated foundation for
+    :func:`logagg.aggregate.sampled_quantiles` (streaming quantiles) and
+    :func:`logagg.aggregate.bottomk_overlap` (live cross-corpus overlap)
+    without ever rescanning history.
+
+    The state protocol needs NO batch ledger: bottom-k is exactly
+    mergeable AND idempotent under re-merge (bottomk(S ∪ B) ==
+    bottomk(bottomk(S) ∪ B), and re-merging rows already in S changes
+    nothing), so a replayed micro-batch converges to the same k rows.
+    The only machinery required is an atomic state swap: merge into
+    ``<state_dir>__next``, rename over ``<state_dir>`` (the
+    searchidx-compaction swap). Each micro-batch does one
+    bounded-k union + TakeOrdered — state never grows past k rows.
+
+    Returns the final state row count (≤ k). Read the sample back with
+    ``spark.read.parquet(state_dir)``; it equals
+    ``aggregate.bottomk_sample`` over the full batch input (pinned by
+    test)."""
+    import os
+    import shutil
+
+    from logagg import aggregate
+
+    tmp = f"{state_dir}__next"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery: a death between rmtree(state) and rename(tmp)
+        # leaves only a committed tmp — finish that swap before merging
+        # (tmp without _SUCCESS is a half-write; the overwrite below
+        # replaces it)
+        if not os.path.exists(state_dir) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            os.rename(tmp, state_dir)
+        merged = aggregate.bottomk_sample(batch_df, id_col, k)
+        if os.path.exists(state_dir):
+            # dropDuplicates on the id BEFORE the rank cut: a replayed row
+            # already in state would otherwise occupy two of the k slots
+            # and silently evict the tail — the dedup is what makes the
+            # merge idempotent (rows with equal ids are identical here)
+            prev = spark.read.parquet(state_dir)
+            merged = aggregate.bottomk_sample(
+                prev.unionByName(batch_df).dropDuplicates([id_col]), id_col, k
+            )
+        # land the merge, then swap — the tmp write EXECUTES the read of
+        # the old state before it is touched
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir).count()

@@ -312,3 +312,55 @@ def test_stateless_curation_ops_lift_to_streams(spark, tmp_path):
         for r in curate_cols(spark.read.parquet(src_dir)).collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_streaming_bottomk_equals_batch_and_replays(spark, tmp_path):
+    """The continuously-merged bottom-k state == the batch sample over
+    the whole input; a replay with a fresh checkpoint converges to the
+    SAME state (idempotent merge, no ledger needed); the simulated
+    half-swap crash (state dir gone, committed tmp present) recovers;
+    sampled quantiles off the state equal the batch rule exactly."""
+    import os
+    import shutil
+
+    from logagg import aggregate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "n_chars"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(5).write.parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    n = streaming.run_streaming_bottomk(
+        spark, src, state, ckpt, k=64, max_files_per_trigger=1
+    )
+    assert n == 64
+    want = {
+        r["url"]
+        for r in aggregate.bottomk_sample(docs, "url", 64).collect()
+    }
+    got = {r["url"] for r in spark.read.parquet(state).collect()}
+    assert got == want
+
+    # replay from scratch: same state, no growth
+    shutil.rmtree(ckpt)
+    streaming.run_streaming_bottomk(
+        spark, src, state, ckpt, k=64, max_files_per_trigger=1
+    )
+    assert {r["url"] for r in spark.read.parquet(state).collect()} == want
+
+    # half-swap crash: state gone, committed tmp present → recovered on
+    # the next run and the final state is unchanged
+    os.rename(state, state + "__next")
+    shutil.rmtree(ckpt)
+    streaming.run_streaming_bottomk(
+        spark, src, state, ckpt, k=64, max_files_per_trigger=1
+    )
+    assert {r["url"] for r in spark.read.parquet(state).collect()} == want
+
+    # streaming quantiles: type-1 ranks over the state == the batch rule
+    sq = aggregate.sampled_quantiles(docs, "n_chars", "url", k=64)
+    state_df = spark.read.parquet(state)
+    sq_state = aggregate.sampled_quantiles(state_df, "n_chars", "url", k=64)
+    assert sq_state == sq
