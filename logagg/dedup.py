@@ -1332,3 +1332,75 @@ def filter_contaminated_fuzzy(
         stop=stop,
     ).select(id_col).distinct()
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def decontaminate_passages(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Passage-level benchmark leak report via winnowed fingerprints —
+    the middle member of the decontamination family: :func:`decontaminate`
+    catches verbatim ``n``-grams, :func:`decontaminate_fuzzy` catches
+    whole-document paraphrase overlap, and this catches a SHORT VERBATIM
+    PASSAGE embedded in an otherwise-clean document at a fraction of the
+    n-gram table's size (winnowing keeps ~2/(w+1) of grams, and the MOSS
+    guarantee — any shared run ≥ k + w − 1 tokens shares a fingerprint —
+    bounds what can slip through: nothing longer than k + w − 2 tokens).
+
+    Returns ``(id_col, n_shared_fps, positions array<int>)`` for flagged
+    docs only — the positions localize the leaked passage for review,
+    which the count-only n-gram report cannot do.
+
+    Same 100 TB shape as :func:`decontaminate`: the benchmark's
+    fingerprint set is distinct + BROADCAST, the corpus pays one Arrow
+    winnowing pass and a map-side semi-probe; only hit rows reach the
+    tiny per-doc aggregation."""
+    from logagg import textstats
+
+    btext = bench_text_col or text_col
+    bench_fps = (
+        textstats.winnow_fingerprints(
+            benchmark.select(F.lit("b").alias("_bid"), F.col(btext).alias("text")),
+            k=k, w=w, id_col="_bid", text_col="text",
+        )
+        .select("fp")
+        .distinct()
+    )
+    if broadcast:
+        bench_fps = F.broadcast(bench_fps)
+    doc_fps = textstats.winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    hits = doc_fps.join(bench_fps, "fp")
+    return (
+        hits.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shared_fps"),
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+        )
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def filter_contaminated_passages(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Drop every doc :func:`decontaminate_passages` flags (anti-join on
+    the string-cast id, same contract as :func:`filter_contaminated`)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    bad = decontaminate_passages(docs, benchmark, **kwargs).select(
+        F.col(id_col).alias("_bad_id")
+    )
+    return docs.join(
+        bad, docs[id_col].cast("string") == bad["_bad_id"], "left_anti"
+    )

@@ -780,3 +780,49 @@ def test_winnow_overlaps_finds_planted_passages(spark):
     # no bp-bp pair may appear
     assert not any(a.startswith("bp") and b.startswith("bp") for a, b in got)
     assert not any("d" in pair for pair in got)
+
+
+# ------------------------------------------------- passage decontamination
+
+
+def test_decontaminate_passages_finds_planted_leak(spark):
+    """A benchmark passage of k+w-1 tokens embedded mid-document is
+    flagged with positions inside the planted region; clean docs pass;
+    filter drops exactly the flagged set."""
+    from logagg import dedup
+
+    k, w = 5, 4
+    leak = " ".join(f"bench{i}" for i in range(k + w - 1))
+    docs = spark.createDataFrame(
+        [
+            ("dirty", f"clean prefix words here {leak} clean suffix words here"),
+            ("clean", "totally unrelated training document with safe content"),
+            ("short", "tiny"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(f"question preamble {leak} answer options follow",)], "text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_fps"], r["positions"])
+        for r in dedup.decontaminate_passages(docs, bench, k=k, w=w).collect()
+    }
+    assert set(got) == {"dirty"}
+    n, positions = got["dirty"]
+    assert n >= 1
+    # the doc's leaked run spans token positions [4, 4+k+w-1); every
+    # shared fingerprint's gram start must fall inside it
+    assert all(4 <= p < 4 + w for p in positions)
+
+    kept = {
+        r["doc_id"]
+        for r in dedup.filter_contaminated_passages(docs, bench, k=k, w=w).collect()
+    }
+    assert kept == {"clean", "short"}
+    # broadcast plan: benchmark side rides a BroadcastExchange
+    plan = (
+        dedup.decontaminate_passages(docs, bench, k=k, w=w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
