@@ -69,6 +69,8 @@ def main() -> None:
     ap.add_argument("--fuzzy-decontaminate", action="store_true",
                     help="also near-dup match against the benchmark (minhash)")
     ap.add_argument("--fuzzy-threshold", type=float, default=0.8)
+    ap.add_argument("--passage-decontaminate", action="store_true",
+                    help="winnowed-fingerprint probe for embedded benchmark passages")
     ap.add_argument("--domain-cap", type=int, default=None)
     ap.add_argument("--dsir-target", default=None,
                     help="target-corpus parquet; keep the --dsir-k docs most like it")
@@ -143,6 +145,7 @@ def main() -> None:
         ngram_n=args.ngram_n,
         fuzzy_decontaminate=args.fuzzy_decontaminate,
         fuzzy_threshold=args.fuzzy_threshold,
+        passage_decontaminate=args.passage_decontaminate,
         domain_cap=args.domain_cap,
         dsir_target=(spark.read.parquet(args.dsir_target) if args.dsir_target else None),
         dsir_k=args.dsir_k,

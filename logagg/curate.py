@@ -100,6 +100,7 @@ def curate(
     ngram_n: int = 13,
     fuzzy_decontaminate: bool = False,
     fuzzy_threshold: float = 0.8,
+    passage_decontaminate: bool = False,
     domain_cap: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
@@ -358,6 +359,15 @@ def curate(
                     threshold=fuzzy_threshold,
                     id_col=id_col,
                     text_col=text_col,
+                ),
+            )
+        if passage_decontaminate:
+            # third mode: short verbatim benchmark passages inside
+            # otherwise-clean docs (winnowed-fingerprint probe)
+            step(
+                "decontaminate_passages",
+                lambda d: dedup.filter_contaminated_passages(
+                    d, benchmark, id_col=id_col, text_col=text_col
                 ),
             )
     if domain_cap is not None:

@@ -373,3 +373,28 @@ def test_quality_sample_stage(spark, crafted):
         ).collect()
     }
     assert {r["doc_id"] for r in out} == want
+
+
+def test_passage_decontaminate_stage(spark, crafted):
+    """Third decontamination mode: a doc with an embedded benchmark
+    passage drops while exact-13-gram-clean docs without it survive."""
+    from pyspark.sql import functions as F
+
+    leak = " ".join(f"bench{i}" for i in range(8))  # k+w-1 at defaults
+    poisoned = crafted.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 3, F.concat(F.col("text"), F.lit(f" {leak}"))
+        ).otherwise(F.col("text")),
+    )
+    bench = spark.createDataFrame([(f"prompt {leak} choices",)], "text string")
+    res = curate.curate(
+        poisoned,
+        exact_dedup=False,
+        benchmark=bench,
+        passage_decontaminate=True,
+    )
+    stages = [m["stage"] for m in res.manifest]
+    assert stages == ["decontaminate", "decontaminate_passages"]
+    ids = {r["doc_id"] for r in res.docs.collect()}
+    assert 3 not in ids and len(ids) == poisoned.count() - 1
