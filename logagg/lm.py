@@ -320,6 +320,93 @@ def with_perplexity(
     return docs.mapInPandas(_score, schema)
 
 
+def ppl_buckets(
+    docs: DataFrame,
+    lm: LocalLM,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    sample_k: int = 4096,
+    out_col: str = "ppl",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    document with the LM and tag it head / middle / tail by the per-
+    language perplexity TERCILES — the standard "keep head+middle, let
+    the tail go" quality split, as a column instead of a filter so
+    downstream mixing can weight buckets differently.
+
+    Tercile boundaries come from the coordinated bottom-k sample
+    (k smallest (md5(id), id) among scored docs per language — the same
+    content-independent rule as :func:`logagg.aggregate.bottomk_sample`)
+    with type-1 cuts at ranks ceil(n/3) / ceil(2n/3): reproducible across
+    runs, engines, partitionings, and cluster sizes, unlike
+    ``approxQuantile``. Scale shape: one Arrow scoring pass (no shuffle),
+    one window shuffle on the language key for the sample, a driver
+    collect bounded by sample_k × #languages (languages are a bounded
+    enum), and one broadcast join of the ≤ #languages-row cut table.
+    Zero-token docs (NULL ppl) land in the tail — matching
+    :func:`curate`'s pessimistic default for unscorable material. With
+    ``lang_col=None`` the corpus is one global bucket group. Twin:
+    :func:`logagg.textfns.ppl_buckets_py` (bucket-exact)."""
+    from pyspark.sql import Window
+
+    if sample_k < 3:
+        raise ValueError("sample_k must be >= 3")
+    scored = with_perplexity(docs, lm, text_col=text_col, out_col=out_col)
+    grp = (
+        F.coalesce(F.col(lang_col).cast("string"), F.lit(""))
+        if lang_col
+        else F.lit("")
+    )
+    sid = F.col(id_col).cast("string")
+    ranked = (
+        scored.filter(F.col(out_col).isNotNull())
+        .select(
+            grp.alias("_grp"),
+            F.md5(sid.cast("binary")).alias("_hr"),
+            sid.alias("_sid"),
+            F.col(out_col).alias("_v"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_grp").orderBy("_hr", "_sid")
+            ),
+        )
+        .filter(F.col("_rn") <= sample_k)
+    )
+    by_grp: dict[str, list[float]] = {}
+    for r in ranked.select("_grp", "_v").collect():
+        by_grp.setdefault(r["_grp"], []).append(r["_v"])
+    import math
+
+    cut_rows = []
+    for g, vals in sorted(by_grp.items()):
+        vals.sort()
+        nn = len(vals)
+        cut_rows.append(
+            (g, vals[max(0, math.ceil(nn / 3) - 1)], vals[max(0, math.ceil(2 * nn / 3) - 1)])
+        )
+    cuts = docs.sparkSession.createDataFrame(
+        cut_rows, "_grp string, _c1 double, _c2 double"
+    )
+    v = F.col(out_col)
+    bucket = (
+        F.when(v.isNull(), F.lit("tail"))
+        .when(v <= F.col("_c1"), F.lit("head"))
+        .when(v <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.withColumn("_grp", grp)
+        .join(F.broadcast(cuts), "_grp", "left")
+        .withColumn(bucket_col, bucket)
+        .drop("_grp", "_c1", "_c2")
+    )
+
+
 def perplexity_py(text: str, lm: LocalLM) -> float | None:
     """Driver-side convenience twin caller (tests / notebooks)."""
     from logagg.textfns import score_tokens_py, tokens

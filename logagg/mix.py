@@ -210,6 +210,126 @@ def temperature_weights(
     return {s: (q[s] / z) * budget / counts[s] for s in sorted(counts)}
 
 
+def token_budget_plan_counts(
+    token_counts: dict[str, int],
+    *,
+    target_tokens: int,
+    alpha: float = 1.0,
+    max_epochs: float | dict[str, float] = 4.0,
+) -> dict:
+    """Allocate a training token budget across sources under per-source
+    epoch caps — the data-recipe table of GPT-3 §2.2 / LLaMA §2 ("weight
+    %, epochs") as a pure function. Desired allocation is temperature-
+    flattened over token shares (q_s ∝ n_s^alpha, same rule as
+    :func:`temperature_weights`); no source may be repeated more than
+    ``max_epochs`` times (a float or a per-source dict — e.g. cap the
+    small high-quality source at 4 epochs, web text at 1).
+
+    When a source's desired allocation exceeds its cap, the excess is
+    REDISTRIBUTED to the uncapped sources in proportion to their q_s
+    (water-filling), not dropped — the closed form sorts sources by
+    cap_s/q_s ascending and scans for the pivot where the common scale
+    λ = remaining_budget / remaining_q stops capping anyone (the twin,
+    :func:`logagg.textfns.token_budget_plan_py`, reaches the same
+    fixpoint by naive iteration; tests diff them). If the budget exceeds
+    the sum of all caps the plan allocates every cap and reports the
+    shortfall as ``unfilled_tokens``.
+
+    Returns ``{"plan": [{source, tokens, alloc_tokens, epochs, capped}],
+    "target_tokens", "allocated_tokens", "unfilled_tokens"}``. Each
+    source's ``epochs`` (= alloc/tokens, the expected repetition rate)
+    is directly a :func:`mix_sources` per-document weight: sampling each
+    document of source s ``epochs_s`` times in expectation yields
+    ``alloc_tokens_s`` expected tokens. Driver-side math over one row
+    per source, by definition driver-sized."""
+    if target_tokens < 0:
+        raise ValueError("target_tokens must be >= 0")
+    if not (alpha >= 0 and math.isfinite(alpha)):
+        raise ValueError("alpha must be finite and >= 0")
+
+    def cap_for(s: str) -> float:
+        e = max_epochs.get(s, 0.0) if isinstance(max_epochs, dict) else max_epochs
+        if not (e >= 0 and math.isfinite(e)):
+            raise ValueError(f"max_epochs for {s!r} must be finite and >= 0")
+        return float(e)
+
+    sources = sorted(token_counts)
+    n = {s: max(0, int(token_counts[s])) for s in sources}
+    total = sum(n.values())
+    # desired (uncapped) share: q_s ∝ (n_s/total)^alpha; n_s == 0 → 0
+    q = {s: (n[s] / total) ** alpha if total and n[s] else 0.0 for s in sources}
+    z = sum(q.values())
+    q = {s: (q[s] / z if z else 0.0) for s in sources}
+    cap = {s: cap_for(s) * n[s] for s in sources}
+
+    budget = float(min(target_tokens, sum(cap[s] for s in sources)))
+    # water-fill: alloc_s = min(cap_s, λ·q_s) with λ s.t. Σ alloc = budget.
+    # Sources capped in increasing cap/q order; scan for the pivot.
+    ranked = sorted((s for s in sources if q[s] > 0), key=lambda s: (cap[s] / q[s], s))
+    alloc = {s: 0.0 for s in sources}
+    lo = 0
+    while True:
+        rem_q = sum(q[s] for s in ranked[lo:])
+        rem_b = budget - sum(cap[s] for s in ranked[:lo])
+        lam = rem_b / rem_q if rem_q else 0.0
+        if lo < len(ranked) and lam * q[ranked[lo]] > cap[ranked[lo]]:
+            lo += 1
+            continue
+        break
+    capped = set(ranked[:lo])
+    for s in ranked[:lo]:
+        alloc[s] = cap[s]
+    for s in ranked[lo:]:
+        alloc[s] = lam * q[s]
+    allocated = sum(alloc.values())
+    plan = [
+        {
+            "source": s,
+            "tokens": n[s],
+            "alloc_tokens": alloc[s],
+            "epochs": (alloc[s] / n[s]) if n[s] else 0.0,
+            "capped": s in capped,
+        }
+        for s in sources
+    ]
+    return {
+        "plan": plan,
+        "target_tokens": int(target_tokens),
+        "allocated_tokens": allocated,
+        "unfilled_tokens": max(0.0, target_tokens - allocated),
+    }
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    *,
+    target_tokens: int,
+    alpha: float = 1.0,
+    max_epochs: float | dict[str, float] = 4.0,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> dict:
+    """:func:`token_budget_plan_counts` over a corpus DataFrame: one
+    partial+final sum aggregate per source (the collect is #sources rows)
+    then the driver-side water-fill. ``plan_weights`` of the result feeds
+    :func:`mix_sources` to realize the plan."""
+    counts = {
+        r[0]: int(r[1] or 0)
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_t"))
+        .collect()
+    }
+    return token_budget_plan_counts(
+        counts, target_tokens=target_tokens, alpha=alpha, max_epochs=max_epochs
+    )
+
+
+def plan_weights(budget_plan: dict) -> dict[str, float]:
+    """Per-document sampling weights (= epochs) from a
+    :func:`token_budget_plan` result, ready for :func:`mix_sources`."""
+    return {p["source"]: p["epochs"] for p in budget_plan["plan"]}
+
+
 def training_order(
     df: DataFrame,
     *,

@@ -193,11 +193,111 @@ def mix_copies_py(seed: str, doc_id, weight: float) -> int:
     return int(base) + (1 if mix_uniform_py(seed, doc_id) < (weight - base) else 0)
 
 
+def token_budget_plan_py(
+    token_counts: dict,
+    target_tokens: int,
+    alpha: float = 1.0,
+    max_epochs=4.0,
+) -> dict:
+    """Independent twin of ``logagg.mix.token_budget_plan_counts``:
+    reaches the water-fill fixpoint by naive iteration (re-scale the
+    uncapped sources, cap any violator, repeat — terminates in ≤
+    #sources rounds because the capped set only grows) instead of the
+    closed-form ratio-sorted pivot scan. Tests diff the two allocations
+    to 1e-9 relative."""
+    import math
+
+    sources = sorted(token_counts)
+    n = {s: max(0, int(token_counts[s])) for s in sources}
+    total = sum(n.values())
+    q = {s: (n[s] / total) ** alpha if total and n[s] else 0.0 for s in sources}
+    z = sum(q.values())
+    q = {s: (q[s] / z if z else 0.0) for s in sources}
+
+    def cap_for(s):
+        e = max_epochs.get(s, 0.0) if isinstance(max_epochs, dict) else max_epochs
+        return float(e) * n[s]
+
+    cap = {s: cap_for(s) for s in sources}
+    budget = float(min(target_tokens, sum(cap.values())))
+    capped: set = set()
+    alloc = {s: 0.0 for s in sources}
+    while True:
+        free = [s for s in sources if s not in capped and q[s] > 0]
+        rem_b = budget - sum(cap[s] for s in capped)
+        rem_q = sum(q[s] for s in free)
+        lam = rem_b / rem_q if rem_q else 0.0
+        violators = [s for s in free if lam * q[s] > cap[s]]
+        if not violators:
+            for s in free:
+                alloc[s] = lam * q[s]
+            for s in capped:
+                alloc[s] = cap[s]
+            break
+        capped.update(violators)
+    allocated = math.fsum(alloc.values())
+    return {
+        "plan": [
+            {
+                "source": s,
+                "tokens": n[s],
+                "alloc_tokens": alloc[s],
+                "epochs": (alloc[s] / n[s]) if n[s] else 0.0,
+                "capped": s in capped,
+            }
+            for s in sources
+        ],
+        "target_tokens": int(target_tokens),
+        "allocated_tokens": allocated,
+        "unfilled_tokens": max(0.0, target_tokens - allocated),
+    }
+
+
 def order_key_py(seed: str, epoch, doc_id) -> str:
     """Twin of ``logagg.mix.training_order``'s key column."""
     import hashlib
 
     return hashlib.md5(f"{seed}:{epoch}:{doc_id}".encode("utf-8")).hexdigest()
+
+
+def ppl_buckets_py(rows: list[tuple], k: int = 4096) -> dict:
+    """Twin of ``logagg.lm.ppl_buckets``'s sampling + cut + assignment
+    (scores come from the already-twinned perplexity kernel): rows are
+    (id, lang, ppl); returns {str(id): bucket}. Per lang group (None →
+    ""), the k smallest (md5(str(id)), str(id)) among non-null-ppl rows
+    give type-1 tercile cuts at ranks ceil(n/3)/ceil(2n/3); NULL ppl or
+    a group with no cuts → tail."""
+    import hashlib
+    import math
+
+    groups: dict = {}
+    for doc_id, lang, ppl in rows:
+        g = "" if lang is None else str(lang)
+        if ppl is not None:
+            sid = str(doc_id)
+            h = hashlib.md5(sid.encode("utf-8")).hexdigest()
+            groups.setdefault(g, []).append((h, sid, ppl))
+    cuts = {}
+    for g, keyed in groups.items():
+        keyed.sort()
+        vals = sorted(p for _, _, p in keyed[:k])
+        nn = len(vals)
+        cuts[g] = (
+            vals[max(0, math.ceil(nn / 3) - 1)],
+            vals[max(0, math.ceil(2 * nn / 3) - 1)],
+        )
+    out = {}
+    for doc_id, lang, ppl in rows:
+        g = "" if lang is None else str(lang)
+        if ppl is None or g not in cuts:
+            out[str(doc_id)] = "tail"
+        elif ppl <= cuts[g][0]:
+            out[str(doc_id)] = "head"
+        elif ppl <= cuts[g][1]:
+            out[str(doc_id)] = "middle"
+        else:
+            out[str(doc_id)] = "tail"
+    return out
 
 
 def host_suffixes_py(host: str | None) -> list[str]:

@@ -82,3 +82,12 @@ def test_sketch_sample_plan_contract(spark):
     from explain_plans import sketch_sample_plan_contract
 
     assert sketch_sample_plan_contract(spark) == []
+
+
+def test_budget_bucket_plan_contract(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_plans import budget_bucket_plan_contract
+
+    assert budget_bucket_plan_contract(spark) == []

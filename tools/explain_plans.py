@@ -505,6 +505,49 @@ def sketch_sample_plan_contract(spark) -> list[str]:
     return failures
 
 
+def budget_bucket_plan_contract(spark) -> list[str]:
+    """CI-pin the scale shape of the recipe-planning ops:
+
+    * ``mix.token_budget_plan``'s only distributed step — the per-source
+      token sum — must partial-aggregate before its one hash exchange
+      (the shuffle carries #sources rows, not the corpus);
+    * ``lm.ppl_buckets``'s OUTPUT plan must be one Arrow scoring pass
+      plus a broadcast join of the ≤ #languages cut table — no hash
+      exchange of the corpus (the window shuffle lives only in the
+      bounded boundary-sampling side, which is collected at build time).
+
+    Returns failure strings (empty = contract holds)."""
+    from pyspark.sql import functions as F
+
+    from logagg import lm
+
+    failures: list[str] = []
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", "en" if i % 2 else "de", f"s{i % 3}", 9)
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_tokens long",
+    )
+
+    agg = docs.groupBy("source").agg(F.sum(F.col("n_tokens").cast("long")).alias("_t"))
+    p = agg._jdf.queryExecution().executedPlan().toString()
+    if "partial_sum" not in p:
+        failures.append("token_budget_plan: source sums not partial+final")
+    n_ex = p.count("Exchange hashpartitioning")
+    if n_ex != 1:
+        failures.append(f"token_budget_plan: {n_ex} hash exchanges (want 1)")
+
+    model = lm.LocalLM(vocab={"text": 1, "body": 1}, unk_n=0, total=2)
+    out = lm.ppl_buckets(docs, model, lang_col="lang", sample_k=8)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    if p.count("MapInPandas") != 1:
+        failures.append("ppl_buckets: expected exactly one Arrow scoring pass")
+    if "Exchange hashpartitioning" in p:
+        failures.append("ppl_buckets: corpus-side hash shuffle crept in")
+    if "BroadcastHashJoin" not in p:
+        failures.append("ppl_buckets: cut table not broadcast-joined")
+    return failures
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
@@ -586,6 +629,16 @@ def main(only: list[str]) -> int:
                 "pca_project one Arrow pass no shuffle"
             )
         rc |= 1 if kfails else 0
+        print(f"{'='*70}\nbudget/bucket plan contract\n{'='*70}")
+        bfails = budget_bucket_plan_contract(spark)
+        for msg in bfails:
+            print(f"  [VIOLATION] {msg}")
+        if not bfails:
+            print(
+                "  [ok] budget source-sums partial-agg'd; ppl_buckets one "
+                "Arrow pass + broadcast cut join, no corpus shuffle"
+            )
+        rc |= 1 if bfails else 0
     return rc
 
 
