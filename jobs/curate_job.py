@@ -48,6 +48,11 @@ def main() -> None:
                     help="file of blocked domains, one per line (requires --url-col)")
     ap.add_argument("--ppl-max", type=float, default=None,
                     help="keep docs with LM perplexity <= this (CCNet-style)")
+    ap.add_argument("--ppl-bucket-keep", default=None,
+                    help="comma-separated CCNet buckets to keep (head,middle,tail) — "
+                         "relative terciles instead of an absolute --ppl-max")
+    ap.add_argument("--ppl-bucket-lang-col", default=None,
+                    help="group the bucket terciles by this language column")
     ap.add_argument("--lm-model", default=None,
                     help="LM json path: loaded if it exists, else trained and saved here")
     ap.add_argument("--lm-train", default=None,
@@ -95,7 +100,7 @@ def main() -> None:
             blocklist = [ln.strip() for ln in fh if ln.strip()]
 
     ppl_lm = None
-    if args.ppl_max is not None:
+    if args.ppl_max is not None or args.ppl_bucket_keep:
         from logagg import lm as lmmod
 
         if args.lm_model and os.path.exists(args.lm_model):
@@ -128,6 +133,12 @@ def main() -> None:
         blocklist=blocklist,
         ppl_lm=ppl_lm,
         ppl_max=args.ppl_max,
+        ppl_bucket_keep=(
+            tuple(b.strip() for b in args.ppl_bucket_keep.split(",") if b.strip())
+            if args.ppl_bucket_keep
+            else None
+        ),
+        ppl_bucket_lang_col=args.ppl_bucket_lang_col,
         quality_model=quality_model,
         quality_prob_min=args.quality_prob_min,
         redact=args.redact,

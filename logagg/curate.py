@@ -9,7 +9,8 @@ actually runs, built from the repo's individual operators.
       → paragraph dedup          (dedup.dedup_paragraphs, CCNet-style, Catalyst)
       → language filter          (textstats.with_lang_pred, Catalyst)
       → quality filter           (textstats.quality_score, Catalyst)
-      → LM perplexity filter     (lm.doc_perplexity, broadcast model, Arrow pass)
+      → LM perplexity filter     (lm.doc_perplexity ppl_max cutoff, or CCNet
+                                  ppl_bucket_keep terciles via lm.ppl_buckets)
       → classifier filter        (classify.score_quality, map-only MLlib scoring)
       → repetition filter        (textstats.repetition_stats, one Arrow pass)
       → exact dedup              (dedup.exact_dupes, one hash agg)
@@ -90,6 +91,8 @@ def curate(
     quality_min: float | None = None,
     ppl_lm=None,
     ppl_max: float | None = None,
+    ppl_bucket_keep: tuple[str, ...] | None = None,
+    ppl_bucket_lang_col: str | None = None,
     quality_model=None,
     quality_prob_min: float | None = None,
     repetition_limits: dict[str, float] | None = None,
@@ -230,23 +233,44 @@ def curate(
             ),
         )
     if ppl_lm is not None:
-        if ppl_max is None:
-            raise ValueError("ppl_lm requires ppl_max")
+        if (ppl_max is None) == (ppl_bucket_keep is None):
+            raise ValueError("ppl_lm requires exactly one of ppl_max / ppl_bucket_keep")
         from logagg import lm as lmmod
 
-        def ppl_stage(d: DataFrame) -> DataFrame:
-            # CCNet-style LM quality gate: score every doc in one Arrow
-            # pass (broadcast model, zero shuffles), keep low-perplexity
-            # docs. Zero-token docs score NULL and drop here (nothing to
-            # keep). The keep-list semi-join is on the string-cast id —
-            # Arrow kernels carry ids as strings.
-            scored = lmmod.doc_perplexity(d, ppl_lm, id_col=id_col, text_col=text_col)
-            keep = scored.filter(F.col("ppl") <= ppl_max).select("id")
-            return d.join(
-                keep, F.col(id_col).cast("string") == keep["id"], "left_semi"
-            )
+        if ppl_max is not None:
 
-        step("perplexity_filter", ppl_stage)
+            def ppl_stage(d: DataFrame) -> DataFrame:
+                # CCNet-style LM quality gate: score every doc in one Arrow
+                # pass (broadcast model, zero shuffles), keep low-perplexity
+                # docs. Zero-token docs score NULL and drop here (nothing to
+                # keep). The keep-list semi-join is on the string-cast id —
+                # Arrow kernels carry ids as strings.
+                scored = lmmod.doc_perplexity(d, ppl_lm, id_col=id_col, text_col=text_col)
+                keep = scored.filter(F.col("ppl") <= ppl_max).select("id")
+                return d.join(
+                    keep, F.col(id_col).cast("string") == keep["id"], "left_semi"
+                )
+
+            step("perplexity_filter", ppl_stage)
+        else:
+            keep_set = tuple(ppl_bucket_keep)
+            if not keep_set or not set(keep_set) <= {"head", "middle", "tail"}:
+                raise ValueError("ppl_bucket_keep must be a non-empty subset of head/middle/tail")
+
+            def ppl_bucket_stage(d: DataFrame) -> DataFrame:
+                # CCNet bucket gate (relative, not absolute: terciles of
+                # the corpus itself, per language when a lang column is
+                # configured) — keep the configured buckets and drop the
+                # scoring/bucket columns so the stage is schema-preserving
+                tagged = lmmod.ppl_buckets(
+                    d, ppl_lm, id_col=id_col, text_col=text_col,
+                    lang_col=ppl_bucket_lang_col,
+                )
+                return tagged.filter(F.col("ppl_bucket").isin(*keep_set)).drop(
+                    "ppl", "ppl_bucket"
+                )
+
+            step("ppl_bucket_filter", ppl_bucket_stage)
     if quality_model is not None:
         if quality_prob_min is None:
             raise ValueError("quality_model requires quality_prob_min")

@@ -179,6 +179,37 @@ def test_curate_ppl_requires_max(spark, tiny_lm):
         curate.curate(df, ppl_lm=tiny_lm)
 
 
+def test_curate_ppl_bucket_stage_matches_manual(spark):
+    # 12 docs spanning in-distribution → garbage; buckets are RELATIVE
+    # terciles, so head/middle survive regardless of absolute scale
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent if i < 4 else (f"odd {'zq ' * i}" if i < 8 else "qx " * i))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = lm.train_lm(df.filter("doc_id < 4"), top_k=100, max_bigrams=1000)
+    res = curate.curate(
+        df, ppl_lm=model, ppl_bucket_keep=("head", "middle"), exact_dedup=False
+    )
+    assert [m["stage"] for m in res.manifest] == ["ppl_bucket_filter"]
+    manual = lm.ppl_buckets(df, model).filter(
+        F.col("ppl_bucket").isin("head", "middle")
+    )
+    assert sorted(r["doc_id"] for r in res.docs.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in manual.select("doc_id").collect()
+    )
+    assert res.docs.columns == df.columns  # scoring columns dropped
+    assert 0 < res.manifest[0]["rows_out"] < 12
+    res.unpersist()
+
+
+def test_curate_ppl_knobs_are_exclusive_and_validated(spark, tiny_lm):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        curate.curate(df, ppl_lm=tiny_lm, ppl_max=1.0, ppl_bucket_keep=("head",))
+    with pytest.raises(ValueError, match="subset"):
+        curate.curate(df, ppl_lm=tiny_lm, ppl_bucket_keep=("torso",))
+
+
 # ------------------------------------------------- chunking
 
 
