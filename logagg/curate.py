@@ -46,6 +46,10 @@ from logagg import dedup, textstats
 class CurationResult:
     docs: DataFrame  # surviving (and possibly packed) documents
     manifest: list[dict] = field(default_factory=list)
+    # update_state=False increments only: the frames a later
+    # commit_increment_state call lands/folds — {"md5": accepted text
+    # hashes (lineage-free), "survivors": the docs frame}
+    pending: dict | None = None
 
     def unpersist(self) -> None:
         """Release the final stage's cache (in-memory mode only; parquet-
@@ -496,6 +500,7 @@ def curate_increment(
     text_col: str = "text",
     corpus: DataFrame | None = None,
     near_dedup: bool = False,
+    update_state: bool = True,
     **filter_kwargs,
 ) -> CurationResult:
     """Continuous-ingest curation: run the stateless filter stages on a
@@ -515,7 +520,16 @@ def curate_increment(
     accepted doc survives; within a batch the min id survives) — matches
     the batch pipeline whenever earlier batches carry smaller ids.
     All ``curate`` filter knobs pass through (``exact_dedup``/
-    ``near_dedup`` knobs of the batch pipeline are managed here)."""
+    ``near_dedup`` knobs of the batch pipeline are managed here).
+
+    ``update_state=False`` runs the PROBES only — no md5 append, no band
+    index write — and returns the would-be state updates on
+    ``CurationResult.pending`` for a later :func:`commit_increment_state`
+    call. This splits the increment into side-effect-free compute and an
+    idempotent commit, the ordering :func:`logagg.streaming.
+    run_streaming_curate` needs for exactly-once replay (a re-run probe
+    AFTER a partial state append would see its own hashes and silently
+    drop the whole batch)."""
     spark = new_docs.sparkSession
     res = curate(
         new_docs,
@@ -565,9 +579,13 @@ def curate_increment(
     manifest.append(
         {"stage": "exact_dedup_incremental", "rows_in": rows_in, "rows_out": n_acc}
     )
-    accepted.select(F.col("_md5").alias("text_md5")).distinct().write.mode(
-        "append"
-    ).parquet(f"{state_dir}/md5")
+    new_md5 = accepted.select(F.col("_md5").alias("text_md5")).distinct()
+    if update_state:
+        new_md5.write.mode("append").parquet(f"{state_dir}/md5")
+    else:
+        # eager checkpoint: pending["md5"] must survive accepted's
+        # unpersist below (the caller lands it after this returns)
+        new_md5 = new_md5.localCheckpoint()
     out = accepted.drop("_md5")
 
     # ---- near dedup against the persistent band index
@@ -577,10 +595,11 @@ def curate_increment(
             # bootstrap: freeze the stop set on the first batch, dedup
             # within it with the batch operator
             pairs = dedup.minhash_lsh_dupes(out, id_col=id_col, text_col=text_col)
-            dedup.minhash_index_write(
-                out, f"{state_dir}/minhash", id_col=id_col, text_col=text_col,
-                mode="overwrite",
-            )
+            if update_state:
+                dedup.minhash_index_write(
+                    out, f"{state_dir}/minhash", id_col=id_col, text_col=text_col,
+                    mode="overwrite",
+                )
         else:
             if corpus is None:
                 raise ValueError(
@@ -631,7 +650,9 @@ def curate_increment(
         manifest.append(
             {"stage": "near_dedup_incremental", "rows_in": n_acc, "rows_out": n_sur}
         )
-        if have_index:
+        if not update_state:
+            pass  # commit_increment_state folds the survivors' bands later
+        elif have_index:
             dedup.minhash_index_write(
                 survivors, f"{state_dir}/minhash", id_col=id_col,
                 text_col=text_col, mode="append",
@@ -645,4 +666,72 @@ def curate_increment(
         accepted.unpersist()
         out = survivors
 
-    return CurationResult(docs=out, manifest=manifest)
+    pending = None if update_state else {"md5": new_md5, "survivors": out}
+    return CurationResult(docs=out, manifest=manifest, pending=pending)
+
+
+def commit_increment_state(
+    spark,
+    state_dir: str,
+    md5_path: str,
+    survivors_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dedup: bool = False,
+) -> None:
+    """Fold one LANDED increment into the persistent dedup state —
+    IDEMPOTENTLY, so a replay after any crash converges to the same
+    state (the commit half of an ``update_state=False``
+    :func:`curate_increment`; :func:`logagg.streaming.run_streaming_curate`
+    is the caller).
+
+    * md5 set: only hashes not already in ``state_dir/md5`` are appended
+      (anti-join first — a re-commit after a half-done append adds
+      nothing twice). The to-append frame is localCheckpoint'd before the
+      write: its lineage reads the same path it appends to, and Spark's
+      recache-by-path would otherwise re-derive it mid-write.
+    * band index (``near_dedup``): bootstrap = ``mode="overwrite"`` from
+      the landed survivors (idempotent by construction, freezes the stop
+      set exactly as the sequential bootstrap does); thereafter only
+      survivors whose id is absent from ``state_dir/minhash/bands`` are
+      appended. Parquet job commits are all-or-nothing per attempt, so a
+      doc's bands never half-exist."""
+    def _read_optional(path: str):
+        try:
+            df = spark.read.parquet(path)
+            df.schema
+            return df
+        except Exception:
+            return None
+
+    # a zero-row landing can be a schema-less parquet dir (just _SUCCESS)
+    # — an unreadable landing means an empty batch: nothing to fold
+    new_md5 = _read_optional(md5_path)
+    if new_md5 is not None:
+        idx = _read_optional(f"{state_dir}/md5")
+        todo = new_md5.join(idx, "text_md5", "left_anti") if idx is not None else new_md5
+        todo = todo.localCheckpoint()
+        if todo.count():
+            todo.write.mode("append").parquet(f"{state_dir}/md5")
+        todo.unpersist()
+
+    surv = _read_optional(survivors_path)
+    if near_dedup and surv is not None:
+        bands = _read_optional(f"{state_dir}/minhash/bands")
+        if bands is None:
+            dedup.minhash_index_write(
+                surv, f"{state_dir}/minhash", id_col=id_col,
+                text_col=text_col, mode="overwrite",
+            )
+        else:
+            known = bands.select("id").distinct()
+            missing = surv.join(
+                known, F.col(id_col).cast("string") == known["id"], "left_anti"
+            ).localCheckpoint()
+            if missing.count():
+                dedup.minhash_index_write(
+                    missing, f"{state_dir}/minhash", id_col=id_col,
+                    text_col=text_col, mode="append",
+                )
+            missing.unpersist()

@@ -595,3 +595,124 @@ def run_streaming_bottomk(
     finally:
         q.stop()
     return spark.read.parquet(state_dir).count()
+
+
+def run_streaming_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    outdir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dedup: bool = False,
+    max_files_per_trigger: int = 8,
+    **filter_kwargs,
+) -> dict[int, dict]:
+    """Continuous-ingest curation as a stream: each micro-batch of new
+    documents runs the stateless filter stages, deduplicates against
+    everything previously accepted (persistent md5 set + frozen-stop-set
+    MinHash band index under ``state_dir``), lands its survivors at
+    ``<outdir>/batch_id=<id>/``, and folds its hashes/bands into the
+    state — the streaming twin of calling :func:`logagg.curate.
+    curate_increment` per batch (pinned by test).
+
+    Exactly-once OUTPUT via the :func:`run_streaming_frontier` ordering,
+    with the compute/commit split :func:`logagg.curate.curate_increment`
+    ``update_state=False`` provides:
+
+    1. probe-only increment (NO state writes — a probe replayed after a
+       partial md5 append would see its own hashes and silently drop the
+       whole batch, the frontier lesson)
+    2. land the accepted-set md5s at ``<state_dir>/_pending/batch-<id>``
+       and the survivors at the per-batch outdir, both ``overwrite``
+       (all-or-nothing per attempt)
+    3. :func:`logagg.curate.commit_increment_state` from the LANDED
+       parquet — idempotent: md5s and band rows already in the state are
+       anti-joined away, so a re-commit after any crash adds nothing
+    4. atomic-rename the ledger marker
+       (``<state_dir>/_batch_ledger/batch-<id>.json``, carrying the
+       stage manifest)
+
+    Replay decision table: marker → fully committed, skip. No marker but
+    BOTH landed ``_SUCCESS`` present → re-commit from the landed output
+    (never re-probe). Otherwise → full fresh path (any partial landing
+    is overwritten; state is untouched until both are landed, so the
+    probe is still sound). The near-dup verification corpus is the union
+    of COMMITTED batches' survivors (enumerated from the ledger — never
+    a half-landed dir). Returns {batch_id: {"n": survivors,
+    "manifest": [...] | None, "recovered": bool}}."""
+    import json
+    from pathlib import Path
+
+    from logagg import curate as curatemod
+
+    counts: dict[int, dict] = {}
+    ledger = Path(state_dir) / "_batch_ledger"
+    ledger.mkdir(parents=True, exist_ok=True)
+    schema = spark.read.parquet(docs_dir).schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = ledger / f"batch-{batch_id}.json"
+        if marker.exists():  # fully committed earlier — skip
+            counts[batch_id] = json.loads(marker.read_text())
+            return
+        land_surv = f"{outdir}/batch_id={batch_id}"
+        land_md5 = f"{state_dir}/_pending/batch-{batch_id}"
+        landed = (Path(land_surv) / "_SUCCESS").exists() and (
+            Path(land_md5) / "_SUCCESS"
+        ).exists()
+        manifest = None
+        if not landed:
+            committed = sorted(
+                int(p.stem.split("-")[1]) for p in ledger.glob("batch-*.json")
+            )
+            corpus = (
+                spark.read.schema(schema).parquet(
+                    *[f"{outdir}/batch_id={b}" for b in committed]
+                ).select(id_col, text_col)
+                if committed
+                else None
+            )
+            res = curatemod.curate_increment(
+                batch_df,
+                state_dir,
+                id_col=id_col,
+                text_col=text_col,
+                corpus=corpus,
+                near_dedup=near_dedup,
+                update_state=False,
+                **filter_kwargs,
+            )
+            res.pending["md5"].write.mode("overwrite").parquet(land_md5)
+            res.docs.write.mode("overwrite").parquet(land_surv)
+            manifest = res.manifest
+            res.pending["md5"].unpersist()
+            res.unpersist()
+        curatemod.commit_increment_state(
+            spark, state_dir, land_md5, land_surv,
+            id_col=id_col, text_col=text_col, near_dedup=near_dedup,
+        )
+        n = spark.read.schema(schema).parquet(land_surv).count()
+        entry = {"n": n, "manifest": manifest, "recovered": manifest is None}
+        tmp = marker.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(entry))
+        tmp.rename(marker)  # atomic commit of the ledger entry
+        counts[batch_id] = entry
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return counts
