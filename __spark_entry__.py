@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boilerplate_host_cut"] = _boilerplate_host_cut
     q["c4_filter_stats"] = _c4_filter_stats
     q["crawl_change_rates"] = _crawl_change_rates
+    q["link_host_graph"] = _link_host_graph
+    q["link_degree_stats"] = _link_degree_stats
+    q["link_anchor_stats"] = _link_anchor_stats
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -779,6 +782,46 @@ def _crawl_change_rates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _links(spark: SparkSession, sf: str) -> DataFrame:
+    from logagg import linkgraph
+
+    return linkgraph.extract_links(_pages(spark, sf).select("url", "html"))
+
+
+def _link_host_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """html → outlinks (Arrow pass) → weighted host edge list (logagg.
+    linkgraph.extract_links + host_graph). Oracle: SQL over the
+    expected_links twin (independent regex extraction, logagg.synth)."""
+    from logagg import linkgraph
+
+    return linkgraph.host_graph(_links(spark, sf))
+
+
+def _link_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host degree table over the crawl's host graph (logagg.
+    linkgraph.degree_stats): distinct-neighbor degrees + link weights,
+    absent sides coalesced to 0 via the full-outer node join."""
+    from logagg import linkgraph
+
+    return linkgraph.degree_stats(linkgraph.host_graph(_links(spark, sf)))
+
+
+def _link_anchor_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation (logagg.linkgraph.anchor_stats): per-target
+    inlink/source-host counts + top-3 normalized anchors (count desc,
+    lexical tiebreak). The array column is joined on \\x02 so the driver
+    canonicalization sees a scalar string."""
+    from logagg import linkgraph
+
+    out = linkgraph.anchor_stats(_links(spark, sf), top_k=3)
+    return out.select(
+        "dst_url",
+        "n_inlinks",
+        "n_src_hosts",
+        F.array_join("top_anchors", "\x02").alias("top_anchors"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1180,6 +1223,50 @@ def oracle_sql() -> dict[str, str]:
             "round(lam, 6) AS lambda_day, "
             "round(1.0 - exp(-lam * 7.0), 6) AS p_stale, "
             "round(coalesce(1.0 - exp(-lam * 7.0), 1.0), 6) AS priority FROM g"
+        ),
+        "link_host_graph": (
+            "WITH l AS (SELECT "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            "AS src, "
+            "lower(regexp_extract(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            f"AS dst FROM read_parquet('{c}/expected_links.parquet')) "
+            "SELECT src, dst, count(*) AS n_links FROM l "
+            "WHERE src <> '' AND dst <> '' AND src <> dst GROUP BY src, dst"
+        ),
+        "link_degree_stats": (
+            "WITH l AS (SELECT "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            "AS src, "
+            "lower(regexp_extract(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            f"AS dst FROM read_parquet('{c}/expected_links.parquet')), "
+            "e AS (SELECT src, dst, count(*) AS n_links FROM l "
+            "WHERE src <> '' AND dst <> '' AND src <> dst GROUP BY src, dst), "
+            "o AS (SELECT src AS node, count(*) AS out_deg, "
+            "CAST(sum(n_links) AS BIGINT) AS out_links FROM e GROUP BY src), "
+            "i AS (SELECT dst AS node, count(*) AS in_deg, "
+            "CAST(sum(n_links) AS BIGINT) AS in_links FROM e GROUP BY dst) "
+            "SELECT node, coalesce(out_deg, 0) AS out_deg, "
+            "coalesce(out_links, 0) AS out_links, coalesce(in_deg, 0) AS in_deg, "
+            "coalesce(in_links, 0) AS in_links FROM o FULL JOIN i USING (node)"
+        ),
+        "link_anchor_stats": (
+            "WITH l AS (SELECT dst_url, "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            "AS src_host, "
+            "trim(regexp_replace(lower(anchor), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) "
+            f"AS a FROM read_parquet('{c}/expected_links.parquet')), "
+            "stats AS (SELECT dst_url, count(*) AS n_inlinks, "
+            "count(DISTINCT CASE WHEN src_host <> '' THEN src_host END) "
+            "AS n_src_hosts FROM l GROUP BY dst_url), "
+            "pa AS (SELECT dst_url, a, count(*) AS c FROM l WHERE a <> '' "
+            "GROUP BY dst_url, a), "
+            "top AS (SELECT dst_url, string_agg(a, chr(2) ORDER BY rk) "
+            "AS top_anchors FROM (SELECT dst_url, a, row_number() OVER ("
+            "PARTITION BY dst_url ORDER BY c DESC, a) AS rk FROM pa) "
+            "WHERE rk <= 3 GROUP BY dst_url) "
+            "SELECT s.dst_url, s.n_inlinks, s.n_src_hosts, "
+            "coalesce(t.top_anchors, '') AS top_anchors "
+            "FROM stats s LEFT JOIN top t USING (dst_url)"
         ),
         # no oracle (sketch aggregates have no exact cross-engine value):
         # events_approx_stats — rows-only BY CONSTRUCTION (the documented

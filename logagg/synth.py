@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 10  # v10: ANN query/training sample via hash-rank rule
+GEN_VERSION = 11  # v11: deterministic outlink footers + expected_links twin
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -175,7 +175,11 @@ def generate_pages(sf_name: str) -> dict[str, list]:
     lt_idx = rng.choices(range(len(LOG_TYPES)), k=n)
     lang_idx = rng.choices(range(len(LANGS)), weights=LANG_W, k=n)
 
-    urls: list[str] = []
+    # urls first (index-only), so the link footer below can point anywhere
+    urls = [
+        f"https://{hosts[host_idx[i]]}/{NODES[node_idx[i]]}/{LOG_TYPES[lt_idx[i]]}/{i:08d}"
+        for i in range(n)
+    ]
     warc: list[datetime] = []
     htmls: list[bytes] = []
     texts: list[str] = []
@@ -189,17 +193,41 @@ def generate_pages(sf_name: str) -> dict[str, list]:
             text = _mutate_one_token(rng, texts[rng.randrange(i)])
         else:
             text = _page_text(rng, lang)
-        url = f"https://{hosts[host_idx[i]]}/{NODES[node_idx[i]]}/{LOG_TYPES[lt_idx[i]]}/{i:08d}"
-        urls.append(url)
         warc.append(BASE_WARC + timedelta(seconds=7 * i))
         htmls.append(
             b'<!DOCTYPE html><html><head><meta charset="utf-8"></head><body><pre>'
             + text.encode("utf-8")
-            + b"</pre></body></html>"
+            + b"</pre>"
+            + _link_footer(i, urls).encode("utf-8")
+            + b"</body></html>"
         )
         texts.append(text)
         langs.append(lang)
     return {"url": urls, "warc_ts": warc, "html": htmls, "text": texts, "lang": langs}
+
+
+def _link_footer(i: int, urls: list[str]) -> str:
+    """Deterministic outlink footer for page ``i`` (v11): 0-3 anchors whose
+    targets are arithmetic in the page index (cross-host reach comes from the
+    independent host assignment of the targets), exercising absolute hrefs,
+    fragment stripping, relative-path resolution, whitespace-normalized
+    anchors, and one non-http href every linking page (must be dropped)."""
+    n = len(urls)
+    k = i % 4
+    if k == 0:
+        return ""
+    parts = ["<nav>"]
+    for t in range(k):
+        j = (i * 7 + 13 * t + 3) % n
+        if t == 0:
+            href, anchor = urls[j], f"log {j:08d}"
+        elif t == 1:
+            href, anchor = urls[j] + "#frag", f"  Read\n{j % 100}  "
+        else:
+            href, anchor = f"/r/{j:08d}", f"rel {j % 10}"
+        parts.append(f'<a href="{href}">{anchor}</a>')
+    parts.append('<a href="mailto:ops@example.invalid">contact</a></nav>')
+    return "".join(parts)
 
 
 def _write(path: Path, table: pa.Table) -> None:
@@ -397,6 +425,38 @@ def _expected_simhash_table(cols: dict[str, list]) -> pa.Table:
     )
 
 
+_LINK_A_RE = re.compile(r'<a\s+href="([^"]*)"\s*>(.*?)</a>', re.S)
+
+
+def _expected_links_table(cols: dict[str, list]) -> pa.Table:
+    """Independent (regex-based, vs the engine's HTMLParser) extraction twin
+    of logagg.linkgraph.extract_links over the well-formed synthetic html:
+    resolve against the page url, strip fragments, keep http(s) only,
+    whitespace-collapse + cap anchors."""
+    from urllib.parse import urljoin
+
+    out = {"url": [], "dst_url": [], "anchor": []}
+    for url, html in zip(cols["url"], cols["html"]):
+        for m in _LINK_A_RE.finditer(bytes(html).decode("utf-8")):
+            try:
+                dst = urljoin(url, m.group(1).strip())
+            except ValueError:
+                continue
+            dst = dst.split("#", 1)[0]
+            if not dst.startswith(("http://", "https://")):
+                continue
+            out["url"].append(url)
+            out["dst_url"].append(dst)
+            out["anchor"].append(re.sub(r"\s+", " ", m.group(2)).strip()[:200])
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "dst_url": pa.array(out["dst_url"], pa.string()),
+            "anchor": pa.array(out["anchor"], pa.string()),
+        }
+    )
+
+
 def _expected_media_table(cols: dict[str, list]) -> pa.Table:
     from logagg import refsketch
 
@@ -468,6 +528,7 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
         _write(cdir / "expected_minhash.parquet", _expected_minhash_table(cols))
         _write(cdir / "expected_simhash.parquet", _expected_simhash_table(cols))
         _write(cdir / "expected_media.parquet", _expected_media_table(cols))
+        _write(cdir / "expected_links.parquet", _expected_links_table(cols))
         if (Path(sf_dir) / "documents.parquet").exists():
             _write(cdir / "expected_doc_fp.parquet", _expected_doc_fp_table(sf_dir))
         if (Path(sf_dir) / "embeddings.parquet").exists():

@@ -114,12 +114,27 @@ def test_driver_contract_oracle_coverage():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(qs) - set(oracles) == {"events_approx_stats"}
     assert set(oracles) <= set(qs)  # no oracle without a query
-    assert len(qs) == 51
+    assert len(qs) == 60
     # ordering contract: the round-3 driver recorded exactly the FIRST 50
-    # queries() entries, so every value-oracled query must sit in the first
-    # 50 slots — the only entry allowed to fall off the recorded artifact is
-    # the rows-only sketch query (no value oracle by documented ceiling)
+    # queries() entries, so the 50 recorded slots must keep their round-4
+    # green occupants; the round-5 webtext promotions (all value-oracled)
+    # sit in slots 51+ where only selfcheck sees them, and the rows-only
+    # sketch query stays dead last (it would be the dropped row under any
+    # future cap raise)
     keys = list(qs)
     assert keys[-1] == "events_approx_stats"
     assert all(k in oracles for k in keys[:50])
     assert "events_pivot" in keys[:50]
+    webtext_slots = keys[50:-1]
+    assert webtext_slots == [
+        "heavy_hitter_hosts",
+        "url_template_counts",
+        "collocations_pmi",
+        "boilerplate_host_cut",
+        "c4_filter_stats",
+        "crawl_change_rates",
+        "link_host_graph",
+        "link_degree_stats",
+        "link_anchor_stats",
+    ]
+    assert all(k in oracles for k in webtext_slots)

@@ -47,6 +47,15 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 
 def main(only: list[str]) -> int:
+    import json
+
+    json_path = None
+    if "--json" in only:
+        i = only.index("--json")
+        json_path = only[i + 1]
+        only = only[:i] + only[i + 2 :]
+    results: dict[str, dict] = {}
+
     import __spark_entry__ as entrymod
     from logagg.session import get_spark
 
@@ -67,10 +76,12 @@ def main(only: list[str]) -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {type(e).__name__}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             res = con.sql(oracles[name])
@@ -78,6 +89,7 @@ def main(only: list[str]) -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}"}
             failures += 1
             continue
         problems = []
@@ -98,10 +110,21 @@ def main(only: list[str]) -> int:
                         break
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             failures += 1
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "seconds": round(time.time() - t0, 2),
+            }
     print(f"\n{len(names) - failures}/{len(names)} ok")
+    if json_path:
+        Path(json_path).write_text(
+            json.dumps({"sf_dir": SF_DIR, "n_pass": len(names) - failures,
+                        "n_total": len(names), "queries": results}, indent=1)
+        )
     return 1 if failures else 0
 
 
