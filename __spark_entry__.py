@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["link_host_graph"] = _link_host_graph
     q["link_degree_stats"] = _link_degree_stats
     q["link_anchor_stats"] = _link_anchor_stats
+    q["bm25_search_docs"] = _bm25_search_docs
+    q["quality_yield_curve"] = _quality_yield_curve
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -822,6 +824,50 @@ def _link_anchor_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 for a two-term query over a freshly built index
+    (logagg.searchidx.build_index + bm25_search). The oracle recomputes
+    classic BM25 (k1=1.2, b=0.75, +1-smoothed idf) from the same
+    ``[a-z0-9]+`` token contract in SQL, expression-for-expression. Two
+    query terms keep the per-doc score a two-addend sum (IEEE addition is
+    commutative, so partition order cannot perturb it)."""
+    from logagg import searchidx
+
+    docs = _tbl(spark, sf, "documents")
+    idx = _derived_path(spark, sf, "bm25_idx")
+    searchidx.build_index(docs, idx, id_col="doc_id", text_col="text")
+    out = searchidx.bm25_search(spark, idx, "table scan", k=20)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def _quality_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-threshold yield curve (logagg.textstats.yield_curve) over
+    the Catalyst quality score, token mass = n_chars. The survival sums
+    are integer-valued doubles (< 2^53 — exact, so partition order cannot
+    perturb them); fractions are single exact divisions."""
+    docs = _tbl(spark, sf, "documents")
+    scored = docs.withColumn(
+        "q", textstats.quality_score(F.col("text"), F.col("n_chars"))
+    )
+    rows = textstats.yield_curve(
+        scored, "q", [0.2, 0.3, 0.4, 0.5, 0.6], weight_col="n_chars"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["threshold"],
+                r["n_docs"],
+                round(r["frac_docs"], 6),
+                round(r["weight"], 6),
+                round(r["frac_weight"], 6),
+            )
+            for r in rows
+        ],
+        "threshold double, n_docs long, frac_docs double, "
+        "weight double, frac_weight double",
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1267,6 +1313,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.dst_url, s.n_inlinks, s.n_src_hosts, "
             "coalesce(t.top_anchors, '') AS top_anchors "
             "FROM stats s LEFT JOIN top t USING (dst_url)"
+        ),
+        "bm25_search_docs": (
+            "WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), "
+            "dl AS (SELECT id, len(ts) AS dl FROM d), "
+            "meta AS (SELECT count(*) AS n_docs, "
+            "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+            "tf AS (SELECT id, term, count(*) AS tf FROM "
+            "(SELECT id, unnest(ts) AS term FROM d) "
+            "WHERE term IN ('scan', 'table') GROUP BY id, term), "
+            "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "s AS (SELECT tf.id, "
+            "ln(1.0 + ((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5)) * "
+            "(tf * (1.2 + 1.0) / "
+            "(tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))) AS _s "
+            "FROM tf JOIN dft USING (term) JOIN dl USING (id) CROSS JOIN meta) "
+            "SELECT id, round(sum(_s), 6) AS score FROM s GROUP BY id "
+            "ORDER BY sum(_s) DESC, id LIMIT 20"
+        ),
+        "quality_yield_curve": (
+            f"WITH q AS (SELECT {quality} AS q, CAST(n_chars AS DOUBLE) AS w "
+            "FROM documents), "
+            "scored AS (SELECT q, w FROM q WHERE q IS NOT NULL AND NOT isnan(q)), "
+            "tot AS (SELECT count(*) AS total, sum(w) AS wtotal FROM scored), "
+            "t AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6]) AS threshold) "
+            "SELECT threshold, "
+            "CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_docs, "
+            "round(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) / "
+            "CAST(total AS DOUBLE), 6) AS frac_docs, "
+            "round(sum(CASE WHEN q >= threshold THEN w ELSE 0.0 END), 6) "
+            "AS weight, "
+            "round(sum(CASE WHEN q >= threshold THEN w ELSE 0.0 END) / wtotal, 6) "
+            "AS frac_weight "
+            "FROM t CROSS JOIN scored CROSS JOIN tot "
+            "GROUP BY threshold, total, wtotal"
         ),
         # no oracle (sketch aggregates have no exact cross-engine value):
         # events_approx_stats — rows-only BY CONSTRUCTION (the documented
