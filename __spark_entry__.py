@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["link_anchor_stats"] = _link_anchor_stats
     q["bm25_search_docs"] = _bm25_search_docs
     q["quality_yield_curve"] = _quality_yield_curve
+    q["doc_chunks"] = _doc_chunks
+    q["url_canonical_dedup"] = _url_canonical_dedup
+    q["corpus_datasheet"] = _corpus_datasheet
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -868,6 +871,65 @@ def _quality_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (logagg.textstats.chunk_documents,
+    max_tokens=64 overlap=16): pure-Catalyst 1→N sliding windows; the
+    oracle replays the step/ceil arithmetic and list slicing in SQL."""
+    return textstats.chunk_documents(
+        _tbl(spark, sf, "documents"), max_tokens=64, overlap=16
+    )
+
+
+def _url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup (logagg.textstats.canonical_url /
+    dedup_urls) over the crawl urls plus deterministic md5-parity noise:
+    tracking params + unsorted params, www.-prefix + trailing slash,
+    uppercase scheme + default port + fragment. The slash/port/scheme
+    variants collapse onto their base (keeper = min (md5(url), url));
+    the param variant keeps a distinct canonical with stripped/sorted
+    params — both directions value-checked."""
+    pages = _pages(spark, sf).select("url")
+    h = F.substring(F.md5(F.col("url").cast("binary")), 1, 1)
+    noisy = pages.select(
+        F.when(h < "4", F.concat("url", F.lit("?utm_source=feed&b=2&a=1")))
+        .when(
+            h < "8",
+            F.concat(
+                F.regexp_replace("url", "^https://", "https://www."), F.lit("/")
+            ),
+        )
+        .when(
+            h < "c",
+            F.concat(
+                F.regexp_replace("url", "^https://([^/]+)", "HTTPS://$1:443"),
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(F.col("url"))
+        .alias("url")
+    )
+    out = textstats.dedup_urls(pages.unionByName(noisy))
+    return out.select("url", "canonical_url")
+
+
+def _corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus datasheet (logagg.textstats.corpus_report): lang ×
+    predicted-lang doc/token/char counts + mean quality with rollup
+    subtotals from ONE grouping-sets aggregate. lang_pred equality is
+    independently pinned by pages_langid; here the oracle joins the
+    expected_langid twin and replays the grouping sets."""
+    pages = _pages(spark, sf).select("url", "lang", "text")
+    rep = textstats.corpus_report(pages, source_col="lang")
+    return rep.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round("avg_quality", 6).alias("avg_quality"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1349,6 +1411,68 @@ def oracle_sql() -> dict[str, str]:
             "AS frac_weight "
             "FROM t CROSS JOIN scored CROSS JOIN tot "
             "GROUP BY threshold, total, wtotal"
+        ),
+        "doc_chunks": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            f"{ws}), t -> t <> '') AS ts FROM documents), "
+            "nz AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0), "
+            "c AS (SELECT doc_id, ts, n, unnest(range(0, "
+            "CASE WHEN n <= 64 THEN 0 "
+            "ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END + 1)) AS chunk_idx "
+            "FROM nz) "
+            "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+            "CAST(least(64, n - chunk_idx * 48) AS INT) AS n_tokens, "
+            "array_to_string(ts[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') "
+            "AS chunk_text FROM c"
+        ),
+        "url_canonical_dedup": (
+            f"WITH base AS (SELECT url FROM {pages}), "
+            "noisy AS (SELECT CASE "
+            "WHEN substr(md5(url), 1, 1) < '4' "
+            "THEN url || '?utm_source=feed&b=2&a=1' "
+            "WHEN substr(md5(url), 1, 1) < '8' "
+            "THEN regexp_replace(url, '^https://', 'https://www.') || '/' "
+            "WHEN substr(md5(url), 1, 1) < 'c' "
+            "THEN regexp_replace(url, '^https://([^/]+)', 'HTTPS://\\1:443') "
+            "|| '#frag' ELSE url END AS url FROM base), "
+            "u AS (SELECT DISTINCT url FROM "
+            "(SELECT url FROM base UNION ALL SELECT url FROM noisy)), "
+            "comp AS (SELECT url, "
+            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+            "AS proto, "
+            "regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)), "
+            "'^www\\.', '') AS auth0, "
+            "regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), "
+            "'/+$', '') AS path, "
+            "CASE WHEN regexp_matches(url, '\\?') "
+            "THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS qs "
+            "FROM u), "
+            "canon AS (SELECT url, proto || '://' || "
+            "(CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$', '') "
+            "WHEN proto = 'https' THEN regexp_replace(auth0, ':443$', '') "
+            "ELSE auth0 END) || path || "
+            "(CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END) AS canonical_url "
+            "FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter("
+            "string_split(qs, '&'), p -> p <> '' AND NOT regexp_matches(p, "
+            "'^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'"
+            "))), '&'), '') AS qs2 FROM comp)) "
+            "SELECT url, canonical_url FROM ("
+            "SELECT url, canonical_url, row_number() OVER ("
+            "PARTITION BY canonical_url ORDER BY md5(url), url) AS rk FROM canon) "
+            "WHERE rk = 1"
+        ),
+        "corpus_datasheet": (
+            f"WITH p AS (SELECT b.lang, e.lang_pred, b.text FROM {pages} b "
+            f"JOIN read_parquet('{c}/expected_langid.parquet') e USING (url)), "
+            "q AS (SELECT lang, lang_pred, text, "
+            f"{quality.replace('n_chars', 'length(text)')} AS q, "
+            f"len(list_filter(string_split_regex(text, {ws}), t -> t <> '')) "
+            "AS n_tok FROM p) "
+            "SELECT lang, lang_pred, count(*) AS n_docs, "
+            "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+            "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+            "round(avg(q), 6) AS avg_quality FROM q "
+            "GROUP BY GROUPING SETS ((lang, lang_pred), (lang), ())"
         ),
         # no oracle (sketch aggregates have no exact cross-engine value):
         # events_approx_stats — rows-only BY CONSTRUCTION (the documented
