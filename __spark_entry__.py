@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = _doc_chunks
     q["url_canonical_dedup"] = _url_canonical_dedup
     q["corpus_datasheet"] = _corpus_datasheet
+    q["paragraph_dedup"] = _paragraph_dedup
+    q["events_bottomk_sample"] = _events_bottomk_sample
+    q["mix_training_order"] = _mix_training_order
+    q["link_pagerank"] = _link_pagerank
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -930,6 +934,67 @@ def _corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet paragraph dedup (logagg.dedup.dedup_paragraphs) over a
+    deterministic multi-paragraph wrap of documents.text: a header
+    paragraph repeated corpus-wide, the doc body, and a parity-chosen
+    shared/unique tail — so the corpus-wide keeper rule
+    (min (md5(id:idx), id, idx) per paragraph hash) is exercised on
+    hot AND singleton paragraphs. The oracle replays split, keeper,
+    and re-assembly in SQL."""
+    docs = _tbl(spark, sf, "documents").select("doc_id", "text")
+    parity = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    shared = (
+        F.when(parity < "6", F.lit("Shared cookie banner paragraph."))
+        .when(parity < "c", F.lit("Subscribe to our newsletter today."))
+        .otherwise(F.concat(F.lit("Unique tail "), F.col("doc_id").cast("string")))
+    )
+    t2 = F.concat(
+        F.lit("Common header paragraph.\n\n"), F.col("text"), F.lit("\n\n"), shared
+    )
+    out = dedup.dedup_paragraphs(docs.select("doc_id", t2.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "n_paras_kept",
+        "n_paras_dropped",
+    )
+
+
+def _events_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Coordinated bottom-k sample (logagg.aggregate.bottomk_sample):
+    the 256 events ranking smallest under (md5(str(id)), id) — the
+    content-independent rule every sketch-space overlap/quantile op in
+    the repo shares; plans as TakeOrdered."""
+    return aggregate.bottomk_sample(
+        _tbl(spark, sf, "events"), "event_id", 256
+    ).select("event_id", "user_id", "event_type")
+
+
+def _mix_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible training order (logagg.mix.training_order): the
+    md5(seed:epoch:id) shuffle key every run derives identically. The
+    driver hash is order-insensitive, so the oracle pins the key
+    DERIVATION; the global range-sort layout is plan/pytest-pinned."""
+    from logagg import mix
+
+    out = mix.training_order(_tbl(spark, sf, "documents"), id_col="doc_id")
+    return out.select("doc_id", "order_key")
+
+
+def _link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PageRank (logagg.linkgraph.pagerank) over the crawl's
+    host graph, iterated to the 1e-12 fixpoint. The oracle reads the
+    dense numpy twin's fixpoint (synth.expected_pagerank — unique for
+    damping < 1, so both engines agree far inside the 6dp rounding)."""
+    from logagg import linkgraph
+
+    ranks = linkgraph.pagerank(
+        linkgraph.host_graph(_links(spark, sf)), tol=1e-12, max_iter=250
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1473,6 +1538,48 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
             "round(avg(q), 6) AS avg_quality FROM q "
             "GROUP BY GROUPING SETS ((lang, lang_pred), (lang), ())"
+        ),
+        "paragraph_dedup": (
+            "WITH aug AS (SELECT doc_id, "
+            "'Common header paragraph.' || chr(10) || chr(10) || text || "
+            "chr(10) || chr(10) || CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '6' "
+            "THEN 'Shared cookie banner paragraph.' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' "
+            "THEN 'Subscribe to our newsletter today.' "
+            "ELSE 'Unique tail ' || CAST(doc_id AS VARCHAR) END AS text "
+            "FROM documents), "
+            "paras AS (SELECT CAST(doc_id AS VARCHAR) AS pid, "
+            "unnest(ps) AS para, unnest(range(0, len(ps))) AS idx FROM "
+            "(SELECT doc_id, string_split_regex(text, '\\n\\n+') AS ps FROM aug)), "
+            "np AS (SELECT pid, count(*) AS n_paras FROM paras "
+            "WHERE para <> '' GROUP BY pid), "
+            "tagged AS (SELECT pid, idx, para, "
+            "md5(pid || ':' || CAST(idx AS VARCHAR)) AS okey FROM paras "
+            "WHERE para <> ''), "
+            "kept AS (SELECT pid, idx, para FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY md5(para) ORDER BY okey, pid, idx) AS rk FROM tagged) "
+            "WHERE rk = 1), "
+            "reb AS (SELECT pid, string_agg(para, chr(10) || chr(10) "
+            "ORDER BY idx) AS new_text, count(*) AS n_kept FROM kept GROUP BY pid) "
+            "SELECT a.doc_id, md5(coalesce(reb.new_text, '')) AS text_md5, "
+            "CAST(coalesce(n_kept, 0) AS INT) AS n_paras_kept, "
+            "CAST(coalesce(np.n_paras, 0) - coalesce(n_kept, 0) AS INT) "
+            "AS n_paras_dropped FROM aug a "
+            "LEFT JOIN reb ON CAST(a.doc_id AS VARCHAR) = reb.pid "
+            "LEFT JOIN np ON CAST(a.doc_id AS VARCHAR) = np.pid"
+        ),
+        "link_pagerank": (
+            "SELECT node, round(rank, 6) AS rank FROM "
+            f"read_parquet('{c}/expected_pagerank.parquet')"
+        ),
+        "events_bottomk_sample": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 256"
+        ),
+        "mix_training_order": (
+            "SELECT doc_id, md5('order:0:' || CAST(doc_id AS VARCHAR)) "
+            "AS order_key FROM documents"
         ),
         # no oracle (sketch aggregates have no exact cross-engine value):
         # events_approx_stats — rows-only BY CONSTRUCTION (the documented

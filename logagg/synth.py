@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 11  # v11: deterministic outlink footers + expected_links twin
+GEN_VERSION = 12  # v12: expected_pagerank fixpoint twin (v11: outlink footers)
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -457,6 +457,35 @@ def _expected_links_table(cols: dict[str, list]) -> pa.Table:
     )
 
 
+def _expected_pagerank_table(links: pa.Table) -> pa.Table:
+    """Host-graph PageRank twin over the expected links: hosts via
+    urllib (independent of the engine's try_parse_url path), distinct
+    unweighted edges, self-loops dropped, ranks from the dense numpy
+    twin run to its 1e-12 fixpoint (the fixpoint is unique, so the
+    engine's distributed iteration at the same tolerance agrees to
+    rounding)."""
+    from urllib.parse import urlparse
+
+    from logagg.linkgraph import pagerank_py
+
+    pairs = set()
+    for u, d in zip(links["url"].to_pylist(), links["dst_url"].to_pylist()):
+        s = (urlparse(u).hostname or "").lower()
+        t = (urlparse(d).hostname or "").lower()
+        if s and t and s != t:
+            pairs.add((s, t))
+    ranks = pagerank_py(
+        [(s, t, 1.0) for s, t in sorted(pairs)], tol=1e-12, max_iter=500
+    )
+    nodes = sorted(ranks)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "rank": pa.array([ranks[v] for v in nodes], pa.float64()),
+        }
+    )
+
+
 def _expected_media_table(cols: dict[str, list]) -> pa.Table:
     from logagg import refsketch
 
@@ -528,7 +557,9 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
         _write(cdir / "expected_minhash.parquet", _expected_minhash_table(cols))
         _write(cdir / "expected_simhash.parquet", _expected_simhash_table(cols))
         _write(cdir / "expected_media.parquet", _expected_media_table(cols))
-        _write(cdir / "expected_links.parquet", _expected_links_table(cols))
+        links_tbl = _expected_links_table(cols)
+        _write(cdir / "expected_links.parquet", links_tbl)
+        _write(cdir / "expected_pagerank.parquet", _expected_pagerank_table(links_tbl))
         if (Path(sf_dir) / "documents.parquet").exists():
             _write(cdir / "expected_doc_fp.parquet", _expected_doc_fp_table(sf_dir))
         if (Path(sf_dir) / "embeddings.parquet").exists():
