@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_bottomk_sample"] = _events_bottomk_sample
     q["mix_training_order"] = _mix_training_order
     q["link_pagerank"] = _link_pagerank
+    q["mix_corpus_sources"] = _mix_corpus_sources
+    q["link_cocitation"] = _link_cocitation
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -995,6 +997,39 @@ def _link_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _mix_corpus_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted corpus mixing with epoch repetition (logagg.mix.
+    mix_sources): keep/repeat decided by the bit-portable md5 uniform
+    (first 8 hex chars / 2^32 — exact in a double on every engine), so
+    the oracle replays the sampling decision literally: fractional
+    weights drop/keep, >1 weights repeat with an epoch index, unlisted
+    sources drop."""
+    from logagg import mix
+
+    docs = _tbl(spark, sf, "documents")
+    out = mix.mix_sources(
+        docs,
+        {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0, "src4": 3.0},
+    )
+    return out.select("doc_id", "source", "mix_epoch")
+
+
+def _link_cocitation(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-citation similarity (logagg.linkgraph.cocitation) over the
+    crawl's host graph: hosts cited together by ≥2 common sources, with
+    the intersection/union Jaccard — the content-free mirror/related
+    signal. Oracle replays degree cut, pair self-join, and Jaccard in
+    SQL over the expected_links twin."""
+    from logagg import linkgraph
+
+    out = linkgraph.cocitation(
+        linkgraph.host_graph(_links(spark, sf)), min_common=2
+    )
+    return out.select(
+        "a", "b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1572,6 +1607,36 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": (
             "SELECT node, round(rank, 6) AS rank FROM "
             f"read_parquet('{c}/expected_pagerank.parquet')"
+        ),
+        "mix_corpus_sources": (
+            "WITH w AS (SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0), "
+            "('src2', 0.4), ('src3', 0.0), ('src4', 3.0)) AS t(source, wt)), "
+            "m AS (SELECT doc_id, d.source, CAST(floor(wt) AS INT) + "
+            "CASE WHEN CAST('0x' || substr(md5('mix:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 "
+            "< wt - floor(wt) THEN 1 ELSE 0 END AS n "
+            "FROM documents d JOIN w USING (source)) "
+            "SELECT doc_id, source, unnest(range(0, n)) AS mix_epoch "
+            "FROM m WHERE n > 0"
+        ),
+        "link_cocitation": (
+            "WITH l AS (SELECT DISTINCT "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            "AS src, "
+            "lower(regexp_extract(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+            f"AS dst FROM read_parquet('{c}/expected_links.parquet')), "
+            "e0 AS (SELECT src, dst FROM l "
+            "WHERE src <> '' AND dst <> '' AND src <> dst), "
+            "deg AS (SELECT src, count(*) AS od FROM e0 GROUP BY src), "
+            "e AS (SELECT e0.src, e0.dst FROM e0 JOIN deg USING (src) "
+            "WHERE od <= 256), "
+            "pairs AS (SELECT l1.dst AS a, l2.dst AS b, count(*) AS n_common "
+            "FROM e l1 JOIN e l2 ON l1.src = l2.src AND l1.dst < l2.dst "
+            "GROUP BY l1.dst, l2.dst HAVING count(*) >= 2), "
+            "ind AS (SELECT dst AS n, count(*) AS ind FROM e GROUP BY dst) "
+            "SELECT a, b, n_common, "
+            "round(n_common / (ia.ind + ib.ind - n_common), 6) AS jaccard "
+            "FROM pairs JOIN ind ia ON pairs.a = ia.n JOIN ind ib ON pairs.b = ib.n"
         ),
         "events_bottomk_sample": (
             "SELECT event_id, user_id, event_type FROM events "
