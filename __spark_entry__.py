@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["link_pagerank"] = _link_pagerank
     q["mix_corpus_sources"] = _mix_corpus_sources
     q["link_cocitation"] = _link_cocitation
+    q["dsir_selection"] = _dsir_selection
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -1030,6 +1031,25 @@ def _link_cocitation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR target-matched selection (logagg.dsir.dsir_select): hashed
+    n-gram importance weights + Gumbel-top-k, target = the md5-parity
+    (< '4') slice of documents. Kernels are single-sourced with the
+    pure-Python twin, so the expected table (synth.expected_dsir) is
+    bit-equal; 6dp rounding guards the canonical repr only."""
+    from logagg import dsir
+
+    docs = _tbl(spark, sf, "documents")
+    parity = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    target = docs.filter(parity < "4")
+    out = dsir.dsir_select(docs, target, k=100)
+    return out.select(
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+        F.round("key", 6).alias("key"),
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1607,6 +1627,10 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": (
             "SELECT node, round(rank, 6) AS rank FROM "
             f"read_parquet('{c}/expected_pagerank.parquet')"
+        ),
+        "dsir_selection": (
+            "SELECT doc_id, round(logw, 6) AS logw, round(key, 6) AS key "
+            f"FROM read_parquet('{c}/expected_dsir.parquet')"
         ),
         "mix_corpus_sources": (
             "WITH w AS (SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0), "

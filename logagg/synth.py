@@ -43,7 +43,7 @@ def _cache_root() -> Path:
 
 
 CACHE_ROOT = _cache_root()
-GEN_VERSION = 12  # v12: expected_pagerank fixpoint twin (v11: outlink footers)
+GEN_VERSION = 13  # v13: expected_dsir twin (v12: pagerank, v11: outlink footers)
 PAGES_ROWS_PER_FILE = 2000  # multi-file layout → natural scan parallelism
 
 N_PAGES = {"sf0.001": 600, "sf0.01": 6000, "sf0.1": 60000}
@@ -486,6 +486,36 @@ def _expected_pagerank_table(links: pa.Table) -> pa.Table:
     )
 
 
+def _expected_dsir_table(sf_dir: str) -> pa.Table:
+    """DSIR selection twin over the documents table: target = md5-parity
+    (< '4') slice, raw = everything; selection from logagg.dsir.
+    dsir_select_py (kernels single-sourced with the Spark path — the
+    equality is bit-for-bit, see COVERAGE.md)."""
+    import hashlib
+
+    from logagg.dsir import dsir_select_py
+
+    t = pq.read_table(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    raw = [(str(i), x or "") for i, x in zip(ids, texts)]
+    target = [
+        x or ""
+        for i, x in zip(ids, texts)
+        if hashlib.md5(str(i).encode("utf-8")).hexdigest()[0] < "4"
+    ]
+    rows = dsir_select_py(raw, target, k=100)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i, _, _ in rows], pa.int64()),
+            "logw": pa.array([w for _, w, _ in rows], pa.float64()),
+            "key": pa.array([k for _, _, k in rows], pa.float64()),
+        }
+    )
+
+
 def _expected_media_table(cols: dict[str, list]) -> pa.Table:
     from logagg import refsketch
 
@@ -562,6 +592,7 @@ def ensure_cache(sf_dir: str, expected: bool = True) -> Path:
         _write(cdir / "expected_pagerank.parquet", _expected_pagerank_table(links_tbl))
         if (Path(sf_dir) / "documents.parquet").exists():
             _write(cdir / "expected_doc_fp.parquet", _expected_doc_fp_table(sf_dir))
+            _write(cdir / "expected_dsir.parquet", _expected_dsir_table(sf_dir))
         if (Path(sf_dir) / "embeddings.parquet").exists():
             lsh, ivf = _expected_ann_tables(sf_dir)
             _write(cdir / "expected_ann_lsh.parquet", lsh)
