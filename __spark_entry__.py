@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mix_corpus_sources"] = _mix_corpus_sources
     q["link_cocitation"] = _link_cocitation
     q["dsir_selection"] = _dsir_selection
+    q["mix_temperature_weights"] = _mix_temperature_weights
     # sketch aggregates (HLL / KLL): rows-only BY CONSTRUCTION — the
     # explicit verification ceiling (COVERAGE.md "sketch verification"):
     # register layouts are engine-specific, so no cross-engine value oracle
@@ -1050,6 +1051,25 @@ def _dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mix_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened mixture weights (logagg.mix.
+    temperature_weights, Conneau-Lample α=0.5) over an md5-parity slice
+    of documents (the slice skews per-source counts so the flattening is
+    non-trivial — the full table is uniform by construction). The
+    formula is replayed term-for-term in SQL."""
+    from logagg import mix
+
+    docs = _tbl(spark, sf, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < "a"
+    )
+    w = mix.temperature_weights(docs, alpha=0.5)
+    return spark.createDataFrame(
+        [(s, round(v, 6)) for s, v in sorted(w.items())],
+        "source string, weight double",
+    )
+
+
 # --------------------------------------------------------------- oracles
 
 
@@ -1627,6 +1647,17 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": (
             "SELECT node, round(rank, 6) AS rank FROM "
             f"read_parquet('{c}/expected_pagerank.parquet')"
+        ),
+        "mix_temperature_weights": (
+            "WITH f AS (SELECT source FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'a'), "
+            "cnt AS (SELECT source, count(*) AS n FROM f GROUP BY source), "
+            "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt), "
+            "q AS (SELECT source, n, pow(n / total, 0.5) AS qv "
+            "FROM cnt CROSS JOIN tot), "
+            "z AS (SELECT sum(qv) AS zv FROM q) "
+            "SELECT source, round((qv / zv) * (SELECT total FROM tot) / n, 6) "
+            "AS weight FROM q CROSS JOIN z"
         ),
         "dsir_selection": (
             "SELECT doc_id, round(logw, 6) AS logw, round(key, 6) AS key "

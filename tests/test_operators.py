@@ -114,7 +114,7 @@ def test_driver_contract_oracle_coverage():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(qs) - set(oracles) == {"events_approx_stats"}
     assert set(oracles) <= set(qs)  # no oracle without a query
-    assert len(qs) == 72
+    assert len(qs) == 73
     # ordering contract: the round-3 driver recorded exactly the FIRST 50
     # queries() entries, so the 50 recorded slots must keep their round-4
     # green occupants; the round-5 webtext promotions (all value-oracled)
@@ -148,5 +148,6 @@ def test_driver_contract_oracle_coverage():
         "mix_corpus_sources",
         "link_cocitation",
         "dsir_selection",
+        "mix_temperature_weights",
     ]
     assert all(k in oracles for k in webtext_slots)
