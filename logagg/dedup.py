@@ -380,28 +380,30 @@ def dup_clusters(
                 .agg(F.min("label").alias("nbr_min"))
             )
             stepped = labels.join(nbr, "id", "left").select(
-                "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+                "id",
+                F.col("label").alias("_old"),
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            # pointer doubling: jump to the label's own current label
+            # pointer doubling: jump to the label's own current label. The
+            # changed flag is computed IN the step and landed with it, so
+            # the convergence check is a flag count over the just-written
+            # parquet instead of a new-vs-old label join per iteration.
             hop = labels.select(
                 F.col("id").alias("_hid"), F.col("label").alias("_hlabel")
             )
+            new_label = F.least("label", F.coalesce("_hlabel", "label"))
             doubled = stepped.join(
                 hop, stepped["label"] == hop["_hid"], "left"
             ).select(
-                "id", F.least("label", F.coalesce("_hlabel", "label")).alias("label")
+                "id",
+                new_label.alias("label"),
+                (new_label != F.col("_old")).alias("_changed"),
             )
             step_path = label_paths[(it + 1) % 2]
             doubled.write.mode("overwrite").parquet(step_path)
             new_labels = spark.read.parquet(step_path)
-            changed = (
-                new_labels.join(
-                    labels.select("id", F.col("label").alias("_old")), "id"
-                )
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 converged = True
                 break

@@ -128,13 +128,25 @@ def extract_links(
     src = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("_h"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar accumulation: pd.DataFrame-from-list-of-dicts normalizes
+        # every row dict (measured ~20% of the pass); three flat lists feed
+        # Arrow directly
         for pdf in batches:
-            out: list[dict] = []
+            urls: list = []
+            dsts: list = []
+            anchors: list = []
             for u, h in zip(pdf["url"], pdf["_h"]):
                 for r in extract_links_py(u, h):
-                    r["url"] = u
-                    out.append(r)
-            yield pd.DataFrame(out, columns=["url", "dst_url", "anchor"])
+                    urls.append(u)
+                    dsts.append(r["dst_url"])
+                    anchors.append(r["anchor"])
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "dst_url": pd.Series(dsts, dtype=object),
+                    "anchor": pd.Series(anchors, dtype=object),
+                }
+            )
 
     return src.mapInPandas(kernel, schema=LINKS_SCHEMA)
 
@@ -380,7 +392,9 @@ def pagerank(
         if materialize == "path":
             return util.materialize(empty, mode="path", path=out_path)
         return empty
-    src_nodes = e.select(F.col("src").alias("_src_node")).distinct()
+    # used every iteration (dangling-mass accounting) — persist once instead
+    # of re-running the distinct per iteration off the cached edge list
+    src_nodes = e.select(F.col("src").alias("_src_node")).distinct().persist()
 
     # per-node teleport share t(v): uniform 1/n, or the renormalized
     # personalization vector (TrustRank when the weights are a seed set)
@@ -430,65 +444,141 @@ def pagerank(
         ranks = cut(r0.select("node", (F.col("rank") / r_total).alias("rank")))
     else:
         ranks = cut(tnodes.select("node", F.col("t").alias("rank")))
-    # initial dangling mass (one scalar job; subsequent iterations fold it
-    # into the delta aggregate — ONE driver round-trip per iteration)
-    dangling = (
-        ranks.join(src_nodes, ranks["node"] == src_nodes["_src_node"], "left_anti")
-        .agg(F.sum("rank"))
-        .collect()[0][0]
-        or 0.0
-    )
     converged = False
-    for it in range(max_iter):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select("dst", (F.col("share") * F.col("rank")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        # (1-d)·t(v) + d·dangling·t(v) folds to one scalar factor on t —
-        # the dangling redistribution rides the personalization vector
-        tele_scale = (1.0 - damping) + damping * dangling
-        new_ranks = (
-            tnodes.join(contrib, tnodes["node"] == contrib["dst"], "left")
+    tn = None
+    if tol <= 0.0:
+        # FIXED-BUDGET mode (the production host-rank contract): tol can
+        # never stop the loop, so the per-iteration stop-rule join against
+        # the OLD ranks is dead work. The dangling-node membership is
+        # folded into the node table ONCE (`_is_src` flag) and carried
+        # through each iteration, so the per-iteration driver job is a
+        # two-join chain + one flag-filtered sum — not the eager path's
+        # four joins + re-distinct of the source set. (A fully lazy
+        # variant with the dangling mass as a broadcast 1-row frame was
+        # measured 2× SLOWER: each checkpoint job unwinds a chain of
+        # nested broadcast sub-jobs with per-job AQE overhead.) The
+        # recurrence is expression-for-expression the eager loop's:
+        # ((1-d) + d·dangling)·t + d·contrib.
+        tn = (
+            tnodes.join(
+                src_nodes, tnodes["node"] == src_nodes["_src_node"], "left"
+            )
             .select(
-                "node",
-                (
-                    F.lit(tele_scale) * F.col("t")
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+                "node", "t", src_nodes["_src_node"].isNotNull().alias("_is_src")
             )
+            .persist()
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_ranks = cut(new_ranks)
-        else:
-            new_ranks = new_ranks.persist()
-        # one aggregate drives BOTH the stop rule (L1 delta vs old ranks)
-        # and the NEXT round's dangling mass (rank parked on non-src nodes);
-        # it is also the job that populates new_ranks' cache
-        row = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
-            .join(src_nodes, F.col("node") == src_nodes["_src_node"], "left")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
-                F.sum(F.when(src_nodes["_src_node"].isNull(), F.col("rank"))).alias(
-                    "dang"
-                ),
+        dangling = (
+            ranks.join(
+                src_nodes, ranks["node"] == src_nodes["_src_node"], "left_anti"
             )
-            .collect()[0]
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
         )
-        delta = row["delta"]
-        dangling = row["dang"] or 0.0
-        ranks.unpersist()
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            converged = True
-            break
+        for it in range(max_iter):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .select("dst", (F.col("share") * F.col("rank")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            tele_scale = (1.0 - damping) + damping * dangling
+            new_ranks = (
+                tn.join(contrib, tn["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(tele_scale) * F.col("t")
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                    "_is_src",
+                )
+            )
+            if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+                new_ranks = cut(new_ranks)
+            else:
+                new_ranks = new_ranks.persist()
+            # ONE scalar job per iteration: next round's dangling mass via
+            # the carried flag (this also populates new_ranks' cache)
+            dangling = (
+                new_ranks.agg(
+                    F.sum(F.when(~F.col("_is_src"), F.col("rank")))
+                ).collect()[0][0]
+                or 0.0
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+        ranks = ranks.select("node", "rank")
+    else:
+        # initial dangling mass (one scalar job; subsequent iterations fold
+        # it into the delta aggregate — ONE driver round-trip per iteration)
+        dangling = (
+            ranks.join(
+                src_nodes, ranks["node"] == src_nodes["_src_node"], "left_anti"
+            )
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        for it in range(max_iter):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .select("dst", (F.col("share") * F.col("rank")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            # (1-d)·t(v) + d·dangling·t(v) folds to one scalar factor on t —
+            # the dangling redistribution rides the personalization vector
+            tele_scale = (1.0 - damping) + damping * dangling
+            new_ranks = (
+                tnodes.join(contrib, tnodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(tele_scale) * F.col("t")
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+                new_ranks = cut(new_ranks)
+            else:
+                new_ranks = new_ranks.persist()
+            # one aggregate drives BOTH the stop rule (L1 delta vs old ranks)
+            # and the NEXT round's dangling mass (rank parked on non-src
+            # nodes); it is also the job that populates new_ranks' cache
+            row = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
+                .join(src_nodes, F.col("node") == src_nodes["_src_node"], "left")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                    F.sum(
+                        F.when(src_nodes["_src_node"].isNull(), F.col("rank"))
+                    ).alias("dang"),
+                )
+                .collect()[0]
+            )
+            delta = row["delta"]
+            dangling = row["dang"] or 0.0
+            ranks.unpersist()
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                converged = True
+                break
     e.unpersist()
     nodes.unpersist()
     tnodes.unpersist()
+    src_nodes.unpersist()
+    if tn is not None:
+        tn.unpersist()
     try:
         if not converged and on_max_iter == "raise":
+            if tol <= 0.0:
+                raise RuntimeError(
+                    f"pagerank cannot converge with tol {tol!r} ≤ 0 — "
+                    "fixed-budget runs must pass on_max_iter='return'"
+                )
             raise RuntimeError(
                 f"pagerank did not converge in {max_iter} iterations "
                 f"(last L1 delta {delta:.3e} ≥ tol {tol:.1e}); raise max_iter "

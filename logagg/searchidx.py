@@ -185,11 +185,19 @@ def _write_meta(
     positional: bool,
 ) -> dict:
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, int(sum_dl), float(avgdl), num_buckets, int(gen), bool(positional))],
-        "n_docs long, sum_dl long, avgdl double, num_buckets int, "
-        "gen long, positional boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+    # one JVM-side row: createDataFrame([...]) parallelizes the row over
+    # defaultParallelism pickled partitions and coalesce(1) then replays
+    # every one of them through a Python worker sequentially — measured
+    # 4-6 s per meta rewrite on local[32] (guide §4: keep trivial rows out
+    # of the Python boundary entirely)
+    spark.range(0, 1, 1, 1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
+        F.lit(float(avgdl)).cast("double").alias("avgdl"),
+        F.lit(int(num_buckets)).cast("int").alias("num_buckets"),
+        F.lit(int(gen)).cast("long").alias("gen"),
+        F.lit(bool(positional)).alias("positional"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/meta")
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -210,6 +218,18 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Max-gen tombstone per id, or ``None`` when no delete ever ran (the
     common case — searches then skip the mask entirely)."""
+    # Hadoop FS existence probe first: one metadata RPC (any scheme)
+    # instead of paying schema-inference + AnalysisException construction
+    # on every search against a tombstone-free index
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(  # type: ignore[union-attr]
+            f"{index_dir}/tombstones"
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+    except Exception:
+        pass  # unusual scheme/py4j trouble: fall through to the read
     try:
         t = spark.read.parquet(f"{index_dir}/tombstones")
     except AnalysisException:
@@ -377,21 +397,33 @@ def _idf(n_docs: int, df_col):
 
 
 def query_postings(
-    spark: SparkSession, index_dir: str, terms: list[str]
+    spark: SparkSession, index_dir: str, terms: list[str],
+    *, num_buckets: int | None = None,
 ) -> DataFrame:
     """The bucket-pruned, term-filtered posting slice for ``terms`` —
-    exposed separately so tests can pin ``PartitionFilters`` on its plan."""
-    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-    nb = meta["num_buckets"]
+    exposed separately so tests can pin ``PartitionFilters`` on its plan.
+    ``num_buckets`` skips the meta re-read when the caller already holds
+    it (one parquet scan per search, not two)."""
+    if num_buckets is None:
+        num_buckets = spark.read.parquet(f"{index_dir}/meta").collect()[0][
+            "num_buckets"
+        ]
+    nb = num_buckets
+    # bucket ids must come from the JVM xxhash64 — but as ONE 1-partition
+    # all-literal row, not a parallelized Python list (createDataFrame of
+    # a tiny list scans defaultParallelism pickled partitions through
+    # Python workers: ~0.5-1 s of pure overhead per search)
     buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+        set(
+            spark.range(0, 1, 1, 1)
+            .select(
+                *[
+                    _bucket(F.lit(t), nb).alias(f"_b{i}")
+                    for i, t in enumerate(terms)
+                ]
             )
-            .select(_bucket(F.col("term"), nb).alias("b"))
-            .collect()
-        }
+            .collect()[0]
+        )
     )
     return (
         spark.read.parquet(f"{index_dir}/postings")
@@ -420,7 +452,12 @@ def _scores(
         return None
     # per-term document frequency over the already-sliced, live postings:
     # ≤ |query| rows, broadcast back
-    p = _live(query_postings(spark, index_dir, terms), tomb)
+    p = _live(
+        query_postings(
+            spark, index_dir, terms, num_buckets=meta["num_buckets"]
+        ),
+        tomb,
+    )
     df_t = p.groupBy("term").agg(F.count("*").alias("_df"))
     norm = F.col("tf") * (k1 + 1.0) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
