@@ -199,25 +199,33 @@ def jaccard_pairs(
         materialize,
         f"{out_path}.idmap" if out_path else None,
     )
-    sh = sh.join(F.broadcast(id_map), sh["id"] == F.col("_doc")).select("iid", "shingle")
+    sh = (
+        sh.join(F.broadcast(id_map), sh["id"] == F.col("_doc"))
+        .select("iid", "shingle")
+        .persist()  # feeds the df count AND the kept-row join — one Arrow pass
+    )
 
-    # One aggregation produces both the document-frequency cut and the
-    # postings list: collect ids per shingle, keep lists of size 2..df_max
-    # (df=1 shingles pair with nothing; df>df_max are stop-shingles).
-    # Persisted because sizes and pairs both consume it — without this the
-    # whole explode+shuffle subtree runs twice; released before return.
+    # Document-frequency cut BEFORE any list is built (guide §2.5): a
+    # template shingle shared by half the corpus (measured max df 41k of
+    # 60k docs at sf0.1; 24% of all rows sit on df>df_max shingles) would
+    # otherwise be collect_list'ed into a df-sized array on ONE task and
+    # then discarded by the size filter — unbounded task memory at corpus
+    # scale. The count aggregation is partial+final longs (skew-immune);
+    # only 2..df_max shingles ever reach collect_list, so every postings
+    # list is ≤ df_max elements by construction. df=1 shingles pair with
+    # nothing but DO count toward set sizes — sizes come from the kept
+    # rows, not the pairable postings.
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sh_kept = sh.join(
+        dfc.filter(F.col("_df") <= df_max), "shingle"
+    ).persist()  # sizes and postings both consume it
     postings = (
-        sh.groupBy("shingle")
+        sh_kept.filter(F.col("_df") >= 2)
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("iid")).alias("ids"))
-        .filter(F.size("ids") <= df_max)
-        .persist()
     )
     try:
-        sizes = (
-            postings.select(F.explode("ids").alias("iid"))
-            .groupBy("iid")
-            .agg(F.count("*").alias("set_size"))
-        )
+        sizes = sh_kept.groupBy("iid").agg(F.count("*").alias("set_size"))
 
         # pairwise combinations per postings list, JVM-side: ids are sorted,
         # so (ids[i], y in ids[i+1:]) enumerates each unordered pair once.
@@ -234,8 +242,7 @@ def jaccard_pairs(
             )
         )
         shared = (
-            postings.filter(F.size("ids") >= 2)
-            .select(F.explode(combos).alias("p"))
+            postings.select(F.explode(combos).alias("p"))
             .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
             .agg(F.count("*").alias("shared"))
         )
@@ -265,7 +272,8 @@ def jaccard_pairs(
         )
         return util.materialize(result, materialize, out_path)
     finally:
-        postings.unpersist()
+        sh_kept.unpersist()
+        sh.unpersist()
 
 
 # ------------------------------------------------------- dup clustering
@@ -746,7 +754,11 @@ def _verify_candidates(
     cand_docs = docs.join(
         F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
     )
-    sh = shingles(cand_docs, id_col, text_col, stop=stop).persist()
+    # digest mode: the shingle value only ever feeds the equality join
+    # below — 16-byte digests shuffle ~3× smaller than the ~45-byte
+    # template strings (same jaccard_pairs argument; stop-set is applied
+    # to the strings inside the kernel before hashing)
+    sh = shingles(cand_docs, id_col, text_col, stop=stop, digest=True).persist()
     try:
         sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
         a_sh = sh.select(F.col("id").alias("url_a"), "shingle")
