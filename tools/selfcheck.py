@@ -52,8 +52,16 @@ def main(only: list[str]) -> int:
     json_path = None
     if "--json" in only:
         i = only.index("--json")
+        if i + 1 >= len(only):  # ADVICE r5: usage message, not IndexError
+            print("usage: python tools/selfcheck.py [query ...] [--json PATH]")
+            return 2
         json_path = only[i + 1]
         only = only[:i] + only[i + 2 :]
+    unknown = [q for q in only if q.startswith("--")]
+    if unknown:
+        print(f"unknown flag(s): {' '.join(unknown)}")
+        print("usage: python tools/selfcheck.py [query ...] [--json PATH]")
+        return 2
     results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
